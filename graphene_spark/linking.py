@@ -1,0 +1,170 @@
+"""Entity linking: broadcast dictionary join + hot-key salting + anti-join metrics.
+
+The reference links every foreign reference through driver-held hash maps
+(Loader.groovy:22,66-75; GeneLoader.groovy:75-82 probes caches another loader
+populated) — i.e. broadcast hash joins with the build side in driver memory.
+Here the canonical entity dictionary is a DataFrame:
+
+    entity_dictionary(entity_id, canonical_name, aliases, entity_type, is_hot)
+
+exploded to an alias map ``(alias_norm -> entity_id)`` and joined against
+mentions/triples.
+
+Skew: hot entities (the 'common metabolite' analog, post-import-cypher.txt:6)
+dominate the mention stream.  With a broadcast join skew is harmless (no
+shuffle by key); when the dictionary exceeds broadcast size the join becomes
+shuffle-based, and we salt: hot mention keys get a random salt in [0, S),
+hot dictionary rows are exploded xS, and the join key becomes
+(alias_norm, salt).  ``link_mentions`` exposes both strategies and they are
+asserted equivalent in tests.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DEFAULT_SALT = 8
+
+
+def alias_map(dictionary: DataFrame) -> DataFrame:
+    """Explode dictionary aliases to (alias_norm, entity_id, canonical_name,
+    entity_type, is_hot).  First-writer-wins on duplicate aliases
+    (NodeCache.getOrCreate semantics, Importer.groovy:97-103)."""
+    return (
+        dictionary.select(
+            "entity_id",
+            "canonical_name",
+            "entity_type",
+            "is_hot",
+            F.explode("aliases").alias("alias"),
+        )
+        .withColumn(
+            "alias_norm",
+            F.trim(F.regexp_replace(F.lower(F.col("alias")), r"[\s_\-]+", " ")),
+        )
+        .groupBy("alias_norm")
+        .agg(
+            F.min(F.struct("entity_id", "canonical_name", "entity_type", "is_hot")).alias("e")
+        )
+        .select(
+            "alias_norm",
+            F.col("e.entity_id").alias("entity_id"),
+            F.col("e.canonical_name").alias("canonical_name"),
+            F.col("e.entity_type").alias("entity_type"),
+            F.col("e.is_hot").alias("is_hot"),
+        )
+    )
+
+
+def hot_keys(mentions: DataFrame, key: str = "norm", min_count: int | None = None, top_k: int = 16) -> DataFrame:
+    """Frequency scan for hot keys (A6: count-by-key, notes.txt:152-155).
+
+    Returns a small DataFrame (key, cnt) of the Zipf head — either keys above
+    ``min_count`` or the global ``top_k``.  At 100 TB this is a cheap
+    partial-aggregated scan (map-side combine) over one string column.
+    """
+    counts = mentions.groupBy(F.col(key).alias("hot_key")).agg(F.count("*").alias("cnt"))
+    if min_count is not None:
+        return counts.filter(F.col("cnt") >= min_count)
+    return counts.orderBy(F.desc("cnt")).limit(top_k)
+
+
+def link_mentions(
+    mentions: DataFrame,
+    dictionary: DataFrame,
+    *,
+    strategy: str = "broadcast",
+    salt: int = DEFAULT_SALT,
+    key_col: str = "norm",
+) -> tuple[DataFrame, DataFrame]:
+    """Join mentions -> dictionary; returns (linked, unlinked).
+
+    linked:   mention columns + entity_id, canonical_name, entity_type
+    unlinked: mentions with no dictionary entry (left-anti, J11) — a metric
+              input, never an error (Loader.groovy:45-47).
+
+    strategy='broadcast' — the default: dictionary is a dimension table, so a
+      broadcast hash join eliminates the shuffle entirely (the Spark analog of
+      the reference's driver-held maps).
+    strategy='salted'    — for dictionaries too big to broadcast: explode hot
+      dictionary rows xS, salt the probe side, shuffle-join on (key, salt).
+      Non-hot keys use salt 0, so only the Zipf head fans out.
+    """
+    amap = alias_map(dictionary)
+    if strategy == "broadcast":
+        joined = mentions.join(F.broadcast(amap), mentions[key_col] == amap.alias_norm, "left")
+    elif strategy == "salted":
+        hot = hot_keys(mentions, key=key_col).select(F.col("hot_key"))
+        amap_salted = (
+            amap.join(F.broadcast(hot), amap.alias_norm == F.col("hot_key"), "left")
+            .withColumn(
+                "_salts",
+                F.when(
+                    F.col("hot_key").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(salt - 1)),
+                ).otherwise(F.array(F.lit(0))),
+            )
+            .withColumn("_dsalt", F.explode("_salts"))
+            .drop("_salts", "hot_key")
+        )
+        probe = mentions.join(
+            F.broadcast(hot), mentions[key_col] == F.col("hot_key"), "left"
+        ).withColumn(
+            "_psalt",
+            F.when(
+                F.col("hot_key").isNotNull(),
+                F.pmod(F.xxhash64(F.col(key_col), F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).drop("hot_key")
+        joined = probe.join(
+            amap_salted,
+            (probe[key_col] == amap_salted.alias_norm) & (probe["_psalt"] == amap_salted["_dsalt"]),
+            "left",
+        ).drop("_psalt", "_dsalt")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    linked = joined.filter(F.col("entity_id").isNotNull()).drop("alias_norm", "is_hot")
+    unlinked = joined.filter(F.col("entity_id").isNull()).select(*mentions.columns)
+    return linked, unlinked
+
+
+def link_triples(
+    raw_triples: DataFrame,
+    dictionary: DataFrame,
+    *,
+    strategy: str = "broadcast",
+    salt: int = DEFAULT_SALT,
+) -> tuple[DataFrame, DataFrame]:
+    """Resolve raw triple subjects to canonical entities; dedup on
+    (subj, pred, obj) keeping first provenance in stable turn order
+    (MERGE insert-if-absent, post-import-cypher.txt; A7).
+
+    Returns (triples, dangling) where dangling counts subj-less or unresolvable
+    triples (the deferred-relationship drop, Loader.groovy:45-47)."""
+    raw_triples = raw_triples.select("conv_id", "turn_idx", "subj", "pred", "obj")
+    has_subj = raw_triples.filter(F.col("subj").isNotNull())
+    no_subj = raw_triples.filter(F.col("subj").isNull())
+
+    linked, unresolved = link_mentions(
+        has_subj, dictionary, strategy=strategy, salt=salt, key_col="subj"
+    )
+    dangling = no_subj.unionByName(unresolved)
+
+    triples = (
+        linked.select(
+            F.col("canonical_name").alias("subj"),
+            "pred",
+            "obj",
+            "conv_id",
+            "turn_idx",
+        )
+        # first occurrence in stable order wins (oracle walk order)
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.min(F.struct("conv_id", "turn_idx")).alias("prov"),
+        )
+        .select("subj", "pred", "obj", F.col("prov.conv_id").alias("conv_id"), F.col("prov.turn_idx").alias("turn_idx"))
+    )
+    return triples, dangling

@@ -1,0 +1,125 @@
+"""End-to-end KG construction pipeline (the Importer.go analog).
+
+transcripts -> stable order (W1) -> pandas-UDF extraction -> linking (J3)
+-> node/edge build (A1-A3, A7, J2) -> materialize with lineage.
+
+The reference runs ten loaders sequentially (Importer.groovy:21-24,38-44);
+here every stage is a DataFrame, so the DAG scheduler parallelizes whatever
+is independent, and the extraction UDF runs ONCE (cached) with mentions,
+triples, and error metrics all derived from its output.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from . import extract, graph, linking
+
+
+def dictionary_to_spark(spark: SparkSession, dictionary_pdf) -> DataFrame:
+    return spark.createDataFrame(
+        dictionary_pdf,
+        schema="entity_id long, canonical_name string, aliases array<string>, entity_type string, is_hot boolean",
+    )
+
+
+def all_aliases(dictionary_pdf) -> list[str]:
+    return [a for al in dictionary_pdf["aliases"] for a in al]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    dictionary: DataFrame,
+    aliases: list[str],
+    *,
+    link_strategy: str = "broadcast",
+) -> dict:
+    """Run extraction+linking+graph build; returns dict of DataFrames + counters.
+
+    Plan shape (the one we want at 100 TB):
+      scan -> [narrow] pandas UDF extract -> explode       (no shuffle)
+      -> broadcast join vs alias map                        (no shuffle)
+      -> groupBy(subj,pred,obj) dedup                       (1 shuffle, AQE-coalesced)
+      -> node/edge groupBy + broadcast id joins             (1 shuffle each)
+    """
+    udf = extract.make_extract_udf(aliases)
+    ex = transcripts.withColumn("_ex", udf(F.col("text"))).persist()
+
+    raw_triples = (
+        ex.select("conv_id", "turn_idx", F.explode("_ex.triples").alias("t"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("t.subj").alias("subj"),
+            F.col("t.pred").alias("pred"),
+            F.col("t.obj").alias("obj"),
+        )
+    )
+    mentions = (
+        ex.select("conv_id", "turn_idx", F.explode("_ex.mentions").alias("surface"))
+        .withColumn(
+            "norm",
+            F.trim(F.regexp_replace(F.lower(F.col("surface")), r"[\s_\-]+", " ")),
+        )
+    )
+
+    triples, dangling = linking.link_triples(raw_triples, dictionary, strategy=link_strategy)
+    linked_mentions, unlinked = linking.link_mentions(mentions, dictionary, strategy=link_strategy)
+
+    # --- node candidates -----------------------------------------------------
+    # entity nodes (canonical dictionary entries that were actually seen)
+    entity_nodes = (
+        linked_mentions.select(
+            F.col("entity_type").alias("label"),
+            F.col("canonical_name").alias("name"),
+        )
+        .distinct()
+        .withColumns({"props": F.create_map().cast("map<string,string>"), "seq": F.lit(0).cast("long")})
+    )
+    # object nodes: ontology terms (NS:id), xref targets (KEY:VAL), rank/synonym values
+    obj_nodes = (
+        triples.select(
+            F.when(F.col("pred") == "XREF", F.split(F.col("obj"), ":", 2).getItem(0))
+            .when(F.col("pred") == "HAS_RANK", F.lit("Rank"))
+            .when(F.col("pred") == "SYNONYM", F.lit("Name"))
+            .otherwise(F.split(F.col("obj"), ":", 2).getItem(0))
+            .alias("label"),
+            F.col("obj").alias("name"),
+        )
+        .distinct()
+        .withColumns({"props": F.create_map().cast("map<string,string>"), "seq": F.lit(1).cast("long")})
+    )
+    nodes = graph.build_nodes(entity_nodes.unionByName(obj_nodes))
+
+    edge_candidates = triples.select(
+        F.col("subj").alias("src_name"),
+        F.col("obj").alias("dst_name"),
+        F.col("pred").alias("rel_type"),
+        F.create_map(
+            F.lit("conv_id"), F.col("conv_id"), F.lit("turn_idx"), F.col("turn_idx").cast("string")
+        ).alias("props"),
+    )
+    edges, dangling_edges = graph.build_edges(edge_candidates, nodes)
+
+    metrics = ex.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("_ex.is_error").alias("n_error_turns"),
+        F.sum(F.size("_ex.triples")).alias("n_raw_triples"),
+        F.sum(F.size("_ex.mentions")).alias("n_mentions"),
+    )
+
+    return {
+        "extracted": ex,
+        "raw_triples": raw_triples,
+        "mentions": mentions,
+        "triples": triples,
+        "dangling": dangling,
+        "linked_mentions": linked_mentions,
+        "unlinked_mentions": unlinked,
+        "nodes": nodes,
+        "edges": edges,
+        "dangling_edges": dangling_edges,
+        "metrics": metrics,
+    }

@@ -1,0 +1,136 @@
+"""Frozen extraction grammar — the single source of truth for triple semantics.
+
+This module is shared by three consumers so the P/R comparison is meaningful:
+
+1. ``datagen.py``  — emits transcript text *containing* these patterns;
+2. ``oracle.py``   — the frozen single-process reference walker (the analog of
+   the reference's row-at-a-time cursor walk, GrameneMongoLoader.groovy:30-43);
+3. ``extract.py``  — the distributed pandas-UDF extractor.
+
+Pattern provenance (reference semantics, re-expressed — not copied):
+
+* ``ONTOLOGY_RELATIONSHIP_PATTERN`` mirrors OntologyLoader.groovy:16
+  ``/([a-z_]+) $path:0*(\\d+) ! (.*)/`` — a relation phrase of the form
+  ``part_of GO:0001234 ! some label``.  The predicate is upper-cased
+  (OntologyLoader.groovy:58 ``DynamicRelationshipType.withName(type.toUpperCase())``)
+  and leading zeros are stripped from the object id
+  (OntologyLoader.groovy:102 ``Long.valueOf(oIdStr, 10)``).
+* ``XREF_PATTERN`` + key handling mirrors GrameneMongoLoader.groovy:89-110:
+  split ``KEY:VALUE`` on the first colon, drop ``GC_ID`` keys, and for keys in
+  {Reactome, VZ, http, loinc} keep only the part of the value before the first
+  space (the rest is a description).
+* ``RANK_PATTERN`` mirrors GrameneMongoLoader.groovy:51-55
+  ``property_value =~ /has_rank NCBITaxon:(\\w+)/`` with ``.capitalize()``.
+* ``SYNONYM_PATTERN`` mirrors the synonym side-emit
+  (GrameneMongoLoader.groovy:66-73: each synonym becomes a Name node plus a
+  SYNONYM edge).
+* ``normalize_alias`` mirrors underscoreCaseToCamelCase's intent
+  (GrameneMongoLoader.groovy:76-78): case/underscore variants of one alias
+  must collide onto one key.  We normalize to lower-space form instead of
+  CamelCase because it is a join key, not a display label.
+
+DO NOT edit patterns casually: the oracle is *frozen*; changing a pattern
+changes the reference answer set that P/R is measured against.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# --- frozen patterns ---------------------------------------------------------
+
+ONTOLOGY_RELATIONSHIP_PATTERN = re.compile(
+    r"\b([a-z_]+) ([A-Z][A-Z0-9]{1,9}):0*(\d+) ! ([^.;|\n]*)"
+)
+XREF_PATTERN = re.compile(r"\bxref ([A-Za-z][A-Za-z0-9_]*):([^\s.;,]+)(?: \(([^)]*)\))?")
+RANK_PATTERN = re.compile(r"\bhas_rank NCBITaxon:(\w+)\b")
+SYNONYM_PATTERN = re.compile(r"\bsynonym: ([^.;|\n]+)")
+
+XREF_DROP_KEYS = frozenset({"GC_ID"})
+# for these keys the value is "name desc..." -> keep name only
+# (GrameneMongoLoader.groovy:100-106)
+XREF_SPLIT_VALUE_KEYS = frozenset({"Reactome", "VZ", "http", "loinc"})
+
+PRED_XREF = "XREF"
+PRED_RANK = "HAS_RANK"
+PRED_SYNONYM = "SYNONYM"
+
+_WS = re.compile(r"[\s_\-]+")
+
+
+def normalize_alias(s: str) -> str:
+    """Collapse case / underscore / dash / whitespace variants onto one key."""
+    return _WS.sub(" ", s.strip().lower()).strip()
+
+
+def build_gazetteer_regex(aliases: list[str]) -> re.Pattern:
+    """One alternation regex matching any dictionary alias.
+
+    Longest-first so overlapping aliases resolve to the longest surface form.
+    Tokens inside an alias may be separated by space/underscore/dash in text.
+    At 100 TB scale the prod path is an Aho-Corasick automaton broadcast to
+    executors; a compiled alternation has the same semantics and is adequate
+    for dictionaries up to ~10^5 aliases.
+    """
+    norms = sorted({normalize_alias(a) for a in aliases if a and a.strip()}, key=len, reverse=True)
+    parts = []
+    for n in norms:
+        toks = [re.escape(t) for t in n.split(" ")]
+        parts.append(r"[\s_\-]+".join(toks))
+    if not parts:
+        parts = [r"(?!x)x"]  # never matches
+    return re.compile(r"(?<![A-Za-z0-9])(" + "|".join(parts) + r")(?![A-Za-z0-9])", re.IGNORECASE)
+
+
+@dataclass(frozen=True)
+class Triple:
+    subj: str | None  # normalized surface form of the subject mention (None = dangling)
+    pred: str
+    obj: str
+
+
+def extract_mentions(text: str, gaz: re.Pattern) -> list[str]:
+    """Ordered surface mentions of dictionary aliases in a turn's text."""
+    if not text:
+        return []
+    return [m.group(1) for m in gaz.finditer(text)]
+
+
+def extract_turn(text: str, gaz: re.Pattern) -> tuple[list[str], list[Triple]]:
+    """Extract (mentions, triples) from one turn's text.
+
+    Subject resolution: the first dictionary mention in the turn is the
+    subject of every relation the turn asserts (the transcript analog of the
+    reference's "current document" — every side-emit in process() hangs off
+    the node being processed, OntologyLoader.groovy:44-51).  A turn with
+    relation patterns but no mention yields dangling triples (subj=None)
+    which the pipeline drops with a metric, never an error
+    (Loader.groovy:45-47 semantics).
+    """
+    if not text:
+        return [], []
+    mentions = extract_mentions(text, gaz)
+    subj = normalize_alias(mentions[0]) if mentions else None
+    triples: list[Triple] = []
+
+    for m in ONTOLOGY_RELATIONSHIP_PATTERN.finditer(text):
+        pred = m.group(1).upper()
+        obj = f"{m.group(2)}:{int(m.group(3))}"  # leading zeros stripped
+        triples.append(Triple(subj, pred, obj))
+
+    for m in XREF_PATTERN.finditer(text):
+        key, val = m.group(1), m.group(2)
+        if key in XREF_DROP_KEYS:
+            continue
+        if key in XREF_SPLIT_VALUE_KEYS:
+            val = val.split(" ", 1)[0]
+        triples.append(Triple(subj, PRED_XREF, f"{key}:{val}"))
+
+    for m in RANK_PATTERN.finditer(text):
+        triples.append(Triple(subj, PRED_RANK, m.group(1).capitalize()))
+
+    for m in SYNONYM_PATTERN.finditer(text):
+        triples.append(Triple(subj, PRED_SYNONYM, normalize_alias(m.group(1))))
+
+    return mentions, triples

@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference is single-threaded (Importer.groovy:38-44 runs ten loaders
+sequentially); we instead rely on Spark's DAG scheduling.  The confs below are
+the ones that matter at 100 TB: AQE (runtime coalescing + skew-join splitting),
+Arrow for every pandas UDF exchange, and a shuffle-partition count sized to the
+local core count (on a real cluster this would be ~2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "graphene-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for the KG pipeline.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 in the sandbox);
+    on a real cluster it is ignored in favour of spark-submit's --master.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+
+    # Ship this package to executor Python workers regardless of cwd.  On a
+    # real cluster this is spark-submit --py-files (north_star); locally the
+    # worker processes inherit PYTHONPATH from the driver environment.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+    shuffle_partitions = shuffle_partitions or max(int(cpus) if cpus.isdigit() else 32, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # sort-merge->broadcast conversion. This is the generic half of the
+        # skew story; the explicit half (salting hot entities) lives in
+        # linking.py (post-import-cypher.txt:6-8 'common' analog).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow transfer for all pandas UDFs (input_hint: vectorized only).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Small dimension tables (the entity dictionary) should broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

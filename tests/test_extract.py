@@ -1,0 +1,106 @@
+"""Extraction + ordering tests: parity with the frozen oracle walker."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from graphene_spark import datagen, extract, oracle, rules
+from graphene_spark.pipeline import all_aliases
+
+
+def test_rules_ontology_pattern():
+    gaz = rules.build_gazetteer_regex(["Ent 00001"])
+    mentions, triples = rules.extract_turn(
+        "We looked at ent_00001 today. part_of GO:0001234 ! growth", gaz
+    )
+    assert mentions == ["ent_00001"]
+    assert rules.Triple("ent 00001", "PART_OF", "GO:1234") in triples
+
+
+def test_rules_xref_semantics():
+    gaz = rules.build_gazetteer_regex(["Ent 00002"])
+    # GC_ID dropped (GrameneMongoLoader.groovy:97)
+    _, t1 = rules.extract_turn("ENT-00002 has xref GC_ID:123.", gaz)
+    assert t1 == []
+    # split-value keys keep only the name part (GrameneMongoLoader.groovy:100-106)
+    _, t2 = rules.extract_turn("ENT-00002 has xref Reactome:R123 (a description).", gaz)
+    assert t2 == [rules.Triple("ent 00002", "XREF", "Reactome:R123")]
+    _, t3 = rules.extract_turn("ENT-00002 has xref UniProt:P12345.", gaz)
+    assert t3 == [rules.Triple("ent 00002", "XREF", "UniProt:P12345")]
+
+
+def test_rules_rank_and_synonym():
+    gaz = rules.build_gazetteer_regex(["Ent 00003"])
+    _, t = rules.extract_turn("Ent 00003 annotated has_rank NCBITaxon:species today", gaz)
+    assert t == [rules.Triple("ent 00003", "HAS_RANK", "Species")]
+    _, t2 = rules.extract_turn("Ent 00003 is also known as synonym: ENT-00009.", gaz)
+    assert t2 == [rules.Triple("ent 00003", "SYNONYM", "ent 00009")]
+
+
+def test_dangling_triple_has_null_subject():
+    gaz = rules.build_gazetteer_regex(["Ent 00001"])
+    _, t = rules.extract_turn("note: part_of GO:0000077 ! stray label", gaz)
+    assert t == [rules.Triple(None, "PART_OF", "GO:77")]
+
+
+def test_stable_order_invariant(spark, transcripts_df, transcripts_pdf):
+    """Per-turn text equality under the stable ordering window (input_hint):
+    three different physical row orders -> identical ordered text."""
+    ordered = (
+        extract.with_stable_order(transcripts_df)
+        .select("conv_id", "turn_seq", "text")
+        .orderBy("conv_id", "turn_seq")
+        .toPandas()
+    )
+    for seed in (7, 8):
+        shuffled = transcripts_pdf.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+        df2 = spark.createDataFrame(shuffled)
+        ordered2 = (
+            extract.with_stable_order(df2)
+            .select("conv_id", "turn_seq", "text")
+            .orderBy("conv_id", "turn_seq")
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(ordered, ordered2)
+    # reference order: the oracle's mergesort over (conv_id, turn_idx)
+    ref = transcripts_pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    assert list(ordered["text"]) == list(ref["text"])
+
+
+def test_spark_extraction_matches_oracle_walker(
+    spark, transcripts_df, transcripts_pdf, dictionary_pdf
+):
+    """The distributed pandas-UDF extractor and the frozen single-process
+    walker agree on the raw triple multiset (exact, not just P/R>=0.95)."""
+    aliases = all_aliases(dictionary_pdf)
+    spark_raw = (
+        extract.extract_triples(transcripts_df, aliases)
+        .select("conv_id", "turn_idx", "subj", "pred", "obj")
+        .toPandas()
+    )
+    gaz = rules.build_gazetteer_regex(aliases)
+    expected = []
+    for row in transcripts_pdf.itertuples():
+        if not row.text or "\x00" in row.text:
+            continue
+        _, triples = rules.extract_turn(row.text, gaz)
+        for t in triples:
+            expected.append((row.conv_id, int(row.turn_idx), t.subj, t.pred, t.obj))
+    exp = pd.DataFrame(expected, columns=["conv_id", "turn_idx", "subj", "pred", "obj"])
+    key = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    got_sorted = spark_raw.sort_values(key, kind="mergesort").reset_index(drop=True)
+    exp_sorted = exp.sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_sorted[key].astype(str), exp_sorted[key].astype(str)
+    )
+
+
+def test_error_turns_counted_not_fatal(spark, transcripts_df, transcripts_pdf, dictionary_pdf):
+    aliases = all_aliases(dictionary_pdf)
+    m = extract.extraction_metrics(transcripts_df, aliases).agg(
+        F.sum("n_error_turns").alias("e"), F.sum("n_turns").alias("t")
+    ).collect()[0]
+    n_bad = sum(1 for t in transcripts_pdf["text"] if not t or "\x00" in t)
+    assert m["e"] == n_bad
+    assert m["t"] == len(transcripts_pdf)

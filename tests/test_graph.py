@@ -1,0 +1,95 @@
+"""Node/edge build + adjacency window + connected components."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from graphene_spark import canonicalize, graph
+
+
+def test_build_nodes_label_union_and_prop_merge(spark):
+    """A2 last-writer-wins prop merge + A3 label union."""
+    cand = spark.createDataFrame(
+        [
+            ("Gene", "g1", {"a": "1", "b": "old"}, 0),
+            ("Protein", "g1", {"b": "new", "c": "3"}, 1),
+            ("Gene", "g2", {"x": "9"}, 0),
+        ],
+        schema="label string, name string, props map<string,string>, seq long",
+    )
+    nodes = {r["name"]: r for r in graph.build_nodes(cand).collect()}
+    assert nodes["g1"]["labels"] == ["Gene", "Protein"]
+    assert nodes["g1"]["props"] == {"a": "1", "b": "new", "c": "3"}
+    assert nodes["g2"]["props"] == {"x": "9"}
+    assert nodes["g1"]["node_id"] != nodes["g2"]["node_id"]
+
+
+def test_build_edges_dangling_dropped(spark):
+    cand = spark.createDataFrame(
+        [("g1", "g2", "REL", None), ("g1", "missing", "REL", None)],
+        schema="src_name string, dst_name string, rel_type string, props map<string,string>",
+    )
+    nodes = graph.build_nodes(
+        spark.createDataFrame(
+            [("L", "g1", None, 0), ("L", "g2", None, 0)],
+            schema="label string, name string, props map<string,string>, seq long",
+        )
+    )
+    edges, dangling = graph.build_edges(cand, nodes)
+    assert edges.count() == 1
+    assert dangling.count() == 1  # logged-and-dropped, Loader.groovy:45-47
+
+
+def test_adjacency_first_next_last(spark):
+    """GeneLoader.groovy:53-69 chain semantics on a known ordered fixture."""
+    df = spark.createDataFrame(
+        [("r1", 10, "a"), ("r1", 20, "b"), ("r1", 30, "c"), ("r2", 5, "x")],
+        schema="region string, start int, gene string",
+    )
+    edges = {
+        (r["src_name"], r["rel_type"], r["dst_name"])
+        for r in graph.adjacency_edges(df, "region", "start", "gene").collect()
+    }
+    assert edges == {
+        ("r1", "FIRST", "a"),
+        ("a", "NEXT", "b"),
+        ("b", "NEXT", "c"),
+        ("r1", "LAST", "c"),
+        ("r2", "FIRST", "x"),
+        ("r2", "LAST", "x"),
+    }
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], schema="src long, dst long"
+    )
+    cc = {r["id"]: r["component"] for r in canonicalize.connected_components(edges).collect()}
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[5] == cc[6] == 5
+    assert 7 not in cc  # self-loop only -> no edges -> caller coalesces to self
+
+
+def test_connected_components_chain(spark):
+    # long chain exercises multiple propagation rounds
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], schema="src long, dst long"
+    )
+    cc = {r["id"]: r["component"] for r in canonicalize.connected_components(edges).collect()}
+    assert all(c == 0 for c in cc.values())
+    assert len(cc) == n + 1
+
+
+def test_canonical_entities_shared_alias(spark):
+    d = spark.createDataFrame(
+        [
+            (10, "A", ["A", "shared x"]),
+            (20, "B", ["B", "SHARED_X"]),  # normalizes onto the same alias
+            (30, "C", ["C"]),
+        ],
+        schema="entity_id long, canonical_name string, aliases array<string>",
+    )
+    got = {r["entity_id"]: r["canonical_id"] for r in canonicalize.canonical_entities(d).collect()}
+    assert got[10] == got[20] == 10
+    assert got[30] == 30

@@ -1,0 +1,81 @@
+"""End-to-end: distributed pipeline vs frozen oracle walker (P/R >= 0.95)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from graphene_spark import oracle, pipeline
+from graphene_spark.pipeline import all_aliases
+
+
+@pytest.fixture(scope="module")
+def result(spark, transcripts_df, dictionary_df, dictionary_pdf):
+    return pipeline.run_pipeline(
+        spark, transcripts_df, dictionary_df, all_aliases(dictionary_pdf)
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle_result(transcripts_pdf, dictionary_pdf):
+    return oracle.run_oracle(transcripts_pdf, dictionary_pdf)
+
+
+def test_triple_precision_recall(result, oracle_result):
+    emitted = result["triples"].select("subj", "pred", "obj").toPandas()
+    p, r = oracle.precision_recall(emitted, oracle_result.triples)
+    assert p >= 0.95, f"precision {p}"
+    assert r >= 0.95, f"recall {r}"
+    # with identical frozen rules both sides should in fact agree exactly
+    assert p == 1.0 and r == 1.0
+
+
+def test_dangling_counts_match_oracle(result, oracle_result):
+    n_dangling = result["dangling"].count()
+    assert n_dangling == oracle_result.n_dangling_triples
+
+
+def test_error_turn_counts_match_oracle(result, oracle_result):
+    n_err = result["metrics"].agg(F.sum("n_error_turns").alias("e")).collect()[0]["e"]
+    assert n_err == oracle_result.n_error_turns
+
+
+def test_node_name_unique_per_label(result):
+    """Importer.groovy:61-66 unique-name constraint analog."""
+    nodes = result["nodes"]
+    dup = (
+        nodes.groupBy(F.element_at("labels", 1).alias("l"), "name")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    dup_id = nodes.groupBy("node_id").count().filter(F.col("count") > 1).count()
+    assert dup_id == 0
+
+
+def test_edges_deduped_and_resolved(result):
+    edges = result["edges"]
+    dup = (
+        edges.groupBy("src", "rel_type", "dst").count().filter(F.col("count") > 1).count()
+    )
+    assert dup == 0
+    # every endpoint resolves to a node (J2: join after all nodes exist)
+    nodes = result["nodes"].select("node_id")
+    missing_src = edges.join(nodes, edges.src == nodes.node_id, "left_anti").count()
+    assert missing_src == 0
+
+
+def test_broadcast_and_salted_linking_agree(
+    spark, transcripts_df, dictionary_df, dictionary_pdf
+):
+    aliases = all_aliases(dictionary_pdf)
+    r_b = pipeline.run_pipeline(
+        spark, transcripts_df, dictionary_df, aliases, link_strategy="broadcast"
+    )
+    r_s = pipeline.run_pipeline(
+        spark, transcripts_df, dictionary_df, aliases, link_strategy="salted"
+    )
+    tb = set(map(tuple, r_b["triples"].select("subj", "pred", "obj").collect()))
+    ts = set(map(tuple, r_s["triples"].select("subj", "pred", "obj").collect()))
+    assert tb == ts
