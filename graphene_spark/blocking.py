@@ -1,0 +1,157 @@
+"""MinHash/LSH blocking for fuzzy entity linking (north_star requirement).
+
+Exact-match linking (linking.py) misses aliases that do not normalize onto a
+dictionary key ("entity 00042" vs "ent 00042").  Classic blocking:
+
+1. shingle both sides into character n-grams (JVM-side: sequence+transform —
+   no Python);
+2. MinHash with K independent hash functions (xxhash64 with K seeds);
+3. group the K minhashes into B bands of R rows; band signature =
+   xxhash64(band values);
+4. candidate pairs = equi-join on (band_idx, band_sig) — only near-duplicates
+   collide, so the join is tiny compared to the cross product;
+5. verify candidates with exact n-gram Jaccard >= threshold.
+
+Everything is DataFrame ops; the only shuffles are the band-bucket join and
+the final dedup.  At 100 TB the mention side is the big one: the dictionary
+side's band table is small enough to broadcast, so blocking adds NO extra
+shuffle over the mention stream.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def shingle(col, n: int = 3):
+    """Character n-gram array (lowercased, de-duplicated), JVM-side."""
+    s = F.lower(col)
+    return F.array_distinct(
+        F.when(
+            F.length(s) <= n,
+            F.array(s),
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - n + 1),
+                lambda i: s.substr(i, F.lit(n)),
+            )
+        )
+    )
+
+
+def minhash_signature(shingles_col, num_hashes: int = 32):
+    """array<bigint> of per-seed min hashes over the shingle set."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(shingles_col, lambda sh: F.xxhash64(sh, seed))
+        ),
+    )
+
+
+def band_table(
+    df: DataFrame,
+    text_col: str,
+    id_cols: list[str],
+    *,
+    ngram: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """df -> one row per (id_cols..., band_idx, band_sig)."""
+    rows = num_hashes // bands
+    sig = df.select(
+        *id_cols,
+        minhash_signature(shingle(F.col(text_col), ngram), num_hashes).alias("_sig"),
+        shingle(F.col(text_col), ngram).alias("_sh"),
+    )
+    return (
+        sig.select(
+            *id_cols,
+            "_sh",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_idx"),
+                        F.xxhash64(
+                            F.slice(F.col("_sig"), b * rows + 1, rows).cast("string")
+                        ).alias("band_sig"),
+                    ),
+                )
+            ).alias("_b"),
+        )
+        .select(*id_cols, "_sh", F.col("_b.band_idx").alias("band_idx"), F.col("_b.band_sig").alias("band_sig"))
+    )
+
+
+def jaccard(a_col, b_col):
+    inter = F.size(F.array_intersect(a_col, b_col))
+    uni = F.size(F.array_union(a_col, b_col))
+    return F.when(uni > 0, inter / uni).otherwise(F.lit(0.0))
+
+
+def candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    left_id: str,
+    right_id: str,
+    *,
+    ngram: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """LSH-blocked fuzzy matches: (left_id, right_id, jaccard >= threshold).
+
+    ``broadcast_right=True`` broadcasts the right (dictionary) band table —
+    the common case where the dictionary is the small side."""
+    lb = band_table(left, left_text, [left_id], ngram=ngram, num_hashes=num_hashes, bands=bands)
+    rb = band_table(right, right_text, [right_id], ngram=ngram, num_hashes=num_hashes, bands=bands)
+    rb = rb.withColumnsRenamed({"_sh": "_sh_r"})
+    if broadcast_right:
+        rb = F.broadcast(rb)
+    cands = (
+        lb.join(rb, ["band_idx", "band_sig"])
+        .select(left_id, right_id, "_sh", "_sh_r")
+        .dropDuplicates([left_id, right_id])
+    )
+    return (
+        cands.withColumn("jaccard", jaccard(F.col("_sh"), F.col("_sh_r")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(left_id, right_id, "jaccard")
+    )
+
+
+def fuzzy_link_unmatched(
+    unlinked_mentions: DataFrame,
+    dictionary: DataFrame,
+    *,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Second-chance linking for mentions exact-match missed: LSH candidates
+    against dictionary aliases, verified by Jaccard, best match per mention.
+
+    Returns unlinked mention rows + (entity_id, canonical_name, jaccard)."""
+    aliases = dictionary.select(
+        "entity_id", "canonical_name", F.explode("aliases").alias("alias")
+    )
+    m = unlinked_mentions.select("norm").distinct()
+    pairs = candidate_pairs(
+        m, aliases, "norm", "alias", "norm", "entity_id", threshold=threshold
+    )
+    # best (max-jaccard, min-entity tiebreak) per mention norm
+    best = (
+        pairs.groupBy("norm")
+        .agg(F.max(F.struct(F.col("jaccard"), (-F.col("entity_id")).alias("neg"), F.col("entity_id"))).alias("b"))
+        .select("norm", F.col("b.entity_id").alias("entity_id"), F.col("b.jaccard").alias("jaccard"))
+    )
+    canon = dictionary.select("entity_id", "canonical_name")
+    return (
+        unlinked_mentions.join(best, "norm")
+        .join(F.broadcast(canon), "entity_id")
+    )

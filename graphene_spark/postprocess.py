@@ -1,0 +1,204 @@
+"""Post-import graph rewrites — the Cypher phase re-expressed as DataFrame ops.
+
+The reference shells out to neo4j-shell with post-import-cypher.txt after the
+bulk load (LoadGrameneGraphDb.groovy:56-69).  Each statement there is a graph
+rewrite ending in ``return count(...)`` — a regression counter.  Here each
+rewrite is a pure DataFrame transform over the materialized ``nodes``/``edges``
+tables returning (result_df, count) so callers can record the same counters in
+the metrics table.
+
+Edges schema throughout: src bigint, dst bigint, rel_type string
+(props optional).  All rewrites are MERGE-semantics: output deduplicated on
+(src, rel_type, dst) (A7).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _dedup(edges: DataFrame) -> DataFrame:
+    return edges.dropDuplicates(["src", "rel_type", "dst"])
+
+
+def flip_edges(edges: DataFrame, rel_type: str) -> DataFrame:
+    """Direction normalization (post-import-cypher.txt:4):
+    ``match (a)<-[r:INPUT]-(b) merge (a)-[:INPUT]->(b) delete r`` — i.e. all
+    edges of ``rel_type`` flipped, union'd with the already-forward ones,
+    deduped.  In set semantics: reverse the matching subset and dedup."""
+    flipped = edges.filter(F.col("rel_type") == rel_type).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "rel_type"
+    )
+    keep = edges.filter(F.col("rel_type") != rel_type).select("src", "dst", "rel_type")
+    return _dedup(keep.unionByName(flipped))
+
+
+def flag_common(nodes: DataFrame, name_patterns: list[str], exclude_patterns: list[str] | None = None,
+                exclude_literals: list[str] | None = None) -> DataFrame:
+    """Hot-key flagging (P11, post-import-cypher.txt:6-8): nodes whose name
+    matches any of ``name_patterns`` (regex OR) minus excludes get
+    common=true; everyone else common=false (the 'where not has' defaulting).
+
+    This is the semantic twin of linking.hot_keys: the reference flags known
+    promiscuous entities by name; we ALSO detect them by frequency.  Both
+    feed the same exclusion/salting decisions."""
+    pat = "|".join(f"(?:{p})" for p in name_patterns)
+    common = F.col("name").rlike(pat)
+    for ex in exclude_patterns or []:
+        common = common & ~F.col("name").rlike(ex)
+    for lit in exclude_literals or []:
+        common = common & (F.col("name") != lit)
+    return nodes.withColumn("common", F.coalesce(common, F.lit(False)))
+
+
+def two_hop_edges(
+    edges: DataFrame,
+    first_rel: str,
+    second_rel: str,
+    out_rel: str,
+    excluded_mid: DataFrame | None = None,
+    excluded_ends: DataFrame | None = None,
+) -> tuple[DataFrame, int]:
+    """J7 (post-import-cypher.txt:10-12): (s)-[:A]->(m)-[:B]->(p) =>
+    merge (s)-[:OUT]->(p).
+
+    ``excluded_mid`` / ``excluded_ends``: node_id DataFrames to exclude as the
+    middle / both endpoints (the ``common = false`` guard that prevents the
+    O(hot^2) edge blowup from promiscuous entities — H2O/ATP in the
+    reference; Zipf-head entities here).  The exclusion happens BEFORE the
+    self-join, which is the whole point at scale: filter first, then join.
+    """
+    a = edges.filter(F.col("rel_type") == first_rel).select(
+        F.col("src").alias("s"), F.col("dst").alias("m")
+    )
+    b = edges.filter(F.col("rel_type") == second_rel).select(
+        F.col("src").alias("m"), F.col("dst").alias("p")
+    )
+    if excluded_ends is not None:
+        ex = excluded_ends.select(F.col("node_id").alias("_x"))
+        a = a.join(F.broadcast(ex), a.s == F.col("_x"), "left_anti")
+        b = b.join(F.broadcast(ex), b.p == F.col("_x"), "left_anti")
+    if excluded_mid is not None:
+        exm = excluded_mid.select(F.col("node_id").alias("_x"))
+        a = a.join(F.broadcast(exm), a.m == F.col("_x"), "left_anti")
+        b = b.join(F.broadcast(exm), b.m == F.col("_x"), "left_anti")
+    out = (
+        a.join(b, "m")
+        .select(F.col("s").alias("src"), F.col("p").alias("dst"))
+        .withColumn("rel_type", F.lit(out_rel))
+        .dropDuplicates(["src", "rel_type", "dst"])
+    )
+    return out, out.count()
+
+
+def reify_pairs(
+    to_edges: DataFrame,
+    edges: DataFrame,
+    first_rel: str = "INPUT",
+    second_rel: str = "OUTPUT",
+    species_rel: str = "SPECIES",
+) -> tuple[DataFrame, DataFrame]:
+    """J8 (post-import-cypher.txt:14): for (a)-[:TO]->(b) backed by
+    (a)-[:INPUT]->(r)-[:OUTPUT]->(b) with (r)-[:SPECIES]->(s), create a
+    reified To node keyed on (a, b) plus 4 edges VIA/VIA/RXN/SPECIES.
+
+    Returns (to_nodes, to_edges_out).  The reified node id is deterministic
+    (xxhash64 over endpoints) — the Cypher's ``To{between:id(a), and:id(b)}``
+    keyed-merge semantics."""
+    inp = edges.filter(F.col("rel_type") == first_rel).select(
+        F.col("src").alias("a"), F.col("dst").alias("r")
+    )
+    outp = edges.filter(F.col("rel_type") == second_rel).select(
+        F.col("src").alias("r"), F.col("dst").alias("b")
+    )
+    spec = edges.filter(F.col("rel_type") == species_rel).select(
+        F.col("src").alias("r"), F.col("dst").alias("s")
+    )
+    pairs = to_edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    backed = (
+        pairs.join(inp, "a")
+        .join(outp, ["r", "b"])
+        .join(spec, "r")
+        .select("a", "b", "r", "s")
+        .distinct()
+        .withColumn("to_id", F.xxhash64(F.lit("To"), F.col("a"), F.col("b")))
+    )
+    to_nodes = backed.select(
+        F.col("to_id").alias("node_id"),
+        F.concat_ws("_", F.lit("To"), F.col("a"), F.col("b")).alias("name"),
+        F.array(F.lit("To")).alias("labels"),
+        F.map_from_arrays(
+            F.array(F.lit("between"), F.lit("and")),
+            F.array(F.col("a").cast("string"), F.col("b").cast("string")),
+        ).alias("props"),
+    ).dropDuplicates(["node_id"])
+    e1 = backed.select(F.col("a").alias("src"), F.col("to_id").alias("dst"), F.lit("VIA").alias("rel_type"))
+    e2 = backed.select(F.col("to_id").alias("src"), F.col("b").alias("dst"), F.lit("VIA").alias("rel_type"))
+    e3 = backed.select(F.col("to_id").alias("src"), F.col("r").alias("dst"), F.lit("RXN").alias("rel_type"))
+    e4 = backed.select(F.col("to_id").alias("src"), F.col("s").alias("dst"), F.lit("SPECIES").alias("rel_type"))
+    return to_nodes, _dedup(e1.unionByName(e2).unionByName(e3).unionByName(e4))
+
+
+def bounded_path_edges(
+    edges: DataFrame,
+    rel_types: list[str],
+    max_hops: int,
+    out_rel: str,
+    start: DataFrame | None = None,
+) -> tuple[DataFrame, int]:
+    """J9 (post-import-cypher.txt:16-17): variable-length path join
+    ``-[:R1|R2|R3*..k]->`` as an iterative frontier expansion (edge-list BFS),
+    union of all 1..k-hop reachable pairs, deduped.
+
+    ``start``: optional node_id frame restricting sources.  Each round is one
+    join + dedup; k is small (<=3 in the reference) so the loop unrolls to a
+    fixed DAG — no driver-side data movement."""
+    step = (
+        edges.filter(F.col("rel_type").isin(rel_types))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .distinct()
+    )
+    if start is not None:
+        frontier = (
+            start.select(F.col("node_id").alias("a"))
+            .join(step, "a")
+            .select("a", "b")
+        )
+    else:
+        frontier = step
+    reached = frontier
+    for _ in range(max_hops - 1):
+        frontier = (
+            frontier.select(F.col("b").alias("a0"), F.col("a"))
+            .join(step.withColumnsRenamed({"a": "a0"}), "a0")
+            .select("a", "b")
+            .distinct()
+        )
+        reached = reached.unionByName(frontier).distinct()
+    out = (
+        reached.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("rel_type", F.lit(out_rel))
+        .dropDuplicates(["src", "rel_type", "dst"])
+    )
+    return out, out.count()
+
+
+def bridge_by_name(
+    nodes_a: DataFrame,
+    nodes_b: DataFrame,
+    out_rel: str = "DATABASE_BRIDGE",
+) -> tuple[DataFrame, int]:
+    """J10 (post-import-cypher.txt:21-23): value-equality bridge between two
+    node families — ``i.name = str(t._id)`` / ``i.name = e.name`` — an
+    equi-join on (cast) name producing bridge edges."""
+    a = nodes_a.select(F.col("node_id").alias("src"), F.col("name").cast("string").alias("_k"))
+    b = nodes_b.select(F.col("node_id").alias("dst"), F.col("name").cast("string").alias("_k"))
+    out = (
+        a.join(b, "_k")
+        .select("src", "dst")
+        .withColumn("rel_type", F.lit(out_rel))
+        .dropDuplicates(["src", "rel_type", "dst"])
+    )
+    return out, out.count()

@@ -1,0 +1,270 @@
+"""Document deduplication: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB: every variant keeps the heavy side un-collected and
+shuffles once on a compact key (hash / band signature / bucket id).  The
+quadratic verify step only ever runs within blocks.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..blocking import band_table, jaccard, shingle
+
+
+def _norm_text(col):
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: returns (doc_id, dup_group, is_canonical).
+
+    dup_group = min doc_id sharing the normalized-text hash; one shuffle on a
+    64-bit key (never on the text itself)."""
+    h = docs.select(
+        F.col(id_col),
+        F.xxhash64(_norm_text(F.col(text_col))).alias("text_hash"),
+    )
+    w = Window.partitionBy("text_hash")
+    return (
+        h.withColumn("dup_group", F.min(id_col).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.col("dup_group"))
+        .select(id_col, "dup_group", "is_canonical")
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """Word n-gram shingles (for document-level MinHash)."""
+    words = F.split(_norm_text(col), " ")
+    return F.array_distinct(
+        F.when(F.size(words) <= n, F.array(F.concat_ws(" ", words))).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        )
+    )
+
+
+def minhash_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram_words: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: (id_a, id_b, jaccard) with id_a < id_b.
+
+    shingle -> minhash -> band -> bucket self-join -> exact-Jaccard verify.
+    The self-join is on (band_idx, band_sig) so only near-dups collide."""
+    rows = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), ngram_words).alias("_sh"),
+    ).withColumn(
+        "_sig",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda seed: F.array_min(F.transform(F.col("_sh"), lambda sh: F.xxhash64(sh, seed))),
+        ),
+    )
+    banded = sig.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(F.slice("_sig", b * rows + 1, rows).cast("string")).alias("band_sig"),
+                ),
+            )
+        ).alias("_b"),
+    ).select("_id", "_sh", "_b.band_idx", "_b.band_sig")
+    l = banded.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"})
+    r = banded.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"})
+    pairs = (
+        l.join(r, ["band_idx", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_SIMHASH_SQL = (
+    "aggregate(sequence(0, 63), 0L, (acc, b) -> acc | "
+    "IF(aggregate({hs}, 0L, (a, h) -> a + IF((h & shiftleft(1L, b)) != 0, 1L, -1L)) > 0, "
+    "shiftleft(1L, b), 0L))"
+)
+
+
+def simhash(col, num_bits: int = 64):
+    """64-bit SimHash over word 2-gram shingles, fully JVM-side.
+
+    bit b of the hash = sign of the sum over shingle hashes of (+1/-1 for
+    shingle-hash bit b) — majority vote per bit.  Expressed in SQL because the
+    SQL shiftleft accepts a column shift amount (the Python API does not)."""
+    hashes = F.transform(word_shingles(col, 2), lambda s: F.xxhash64(s))
+    # route the computed array through the SQL expression via a lateral alias
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(num_bits - 1)).alias("_bits"),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(
+            _bit_vote(hashes, b)
+        ),
+    )
+
+
+def _bit_vote(hashes, b):
+    """IF(majority of shingle hashes have bit b set, 1<<b, 0) with a column b:
+    use SQL pow-of-two via shiftleft inside expr-free arithmetic."""
+    mask = _shiftleft_col(F.lit(1).cast("long"), b)
+    vote = F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda a, h: a + F.when(h.bitwiseAND(mask) != 0, F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")),
+    )
+    return F.when(vote > 0, mask).otherwise(F.lit(0).cast("long"))
+
+
+def _shiftleft_col(val, bits):
+    """shiftleft with a Column shift amount via the SQL function call API."""
+    return F.call_function("shiftleft", val, bits.cast("int"))
+
+
+def hamming_distance(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on 16-bit bands (pigeonhole: any pair
+    within hamming distance 3 shares at least one of 4 exact bands), verify
+    with full hamming distance."""
+    n_bands = 64 // band_bits
+    sigs = docs.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sim"))
+    banded = sigs.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("_sim"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1).cast("long"))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_sim", "_b.band_idx", "_b.band_val")
+    l = banded.withColumnsRenamed({"_id": "id_a", "_sim": "sim_a"})
+    r = banded.withColumnsRenamed({"_id": "id_b", "_sim": "sim_b"})
+    return (
+        l.join(r, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming_distance(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram_chars: int = 4,
+    threshold: float = 0.6,
+    block_prefix: int = 8,
+) -> DataFrame:
+    """Direct n-gram Jaccard near-dup with cheap prefix blocking (compare only
+    docs sharing the normalized text prefix block) — the brute-force baseline
+    the LSH variants are measured against at small scale."""
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        shingle(F.col(text_col), ngram_chars).alias("_sh"),
+        F.substring(_norm_text(F.col(text_col)), 1, block_prefix).alias("_blk"),
+    )
+    l = base.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"})
+    r = base.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"})
+    return (
+        l.join(r, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing.
+
+    Bucket = sign bits of dot(v, random plane) for n_planes seeded planes
+    (deterministic: plane components are hash-derived).  Verify cosine within
+    buckets.  Scale path: near-identical vectors share all sign bits with
+    high probability, so the self-join is bucket-local."""
+    dim = F.size(F.col(vec_col))
+    # deterministic pseudo-random plane component p[j][k] from xxhash64(seed, j, k)
+    def plane_dot(j):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), dim - 1),
+                lambda v, k: v
+                * (
+                    (F.xxhash64(F.lit(seed), F.lit(j), k) % 1000).cast("double") / 1000.0
+                    - 0.5
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.concat_ws(
+        "",
+        *[F.when(plane_dot(j) >= 0, "1").otherwise("0") for j in range(n_planes)],
+    )
+    norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda v: v * v), F.lit(0.0), lambda a, x: a + x))
+    base = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm.alias("_n"),
+        sig.alias("_bucket"),
+    )
+    l = base.withColumnsRenamed({"_id": "id_a", "_v": "v_a", "_n": "n_a"})
+    r = base.withColumnsRenamed({"_id": "id_b", "_v": "v_b", "_n": "n_b"})
+    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    return (
+        l.join(r, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

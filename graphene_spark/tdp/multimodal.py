@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are ``binary`` columns with a metadata struct.  The Spark
+side — schema, partition sizing, Arrow batch shape, mapInPandas signatures —
+is real and tested; the actual decode step is STUBBED (the sandbox has no
+image/audio libs): ``decode_image_stub`` emits deterministic fake features
+derived from the payload hash, and ``decode_image_real`` raises
+NotImplementedError with the integration point documented.
+
+Scale notes baked into the design:
+* binary payloads dominate row size -> keep them OUT of shuffles: derive
+  features first (narrow mapInPandas), then drop the payload before any join;
+* ``maxRecordsPerBatch`` bounds Arrow batch memory; metadata-only plans never
+  deserialize payload bytes thanks to Parquet column pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int, mime:string>"
+)
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, mean_luma double, phash long"
+)
+
+
+def make_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4  # 128 bytes
+        kind = ["image", "audio", "video"][i % 3]
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                (64 + i % 32, 48 + i % 16, 16000 if kind == "audio" else None,
+                 30 if kind == "video" else 1, f"{kind}/fake"),
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """Integration point for a real decoder (PIL/libvips/ffmpeg).
+
+    Deliberately unimplemented in this environment."""
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "container; plug PIL.Image.open(io.BytesIO(payload)) here"
+    )
+
+
+def _fake_features(payload: bytes, width: int, height: int) -> tuple[float, int]:
+    """Deterministic fake decode: features derived from payload bytes only."""
+    h = hashlib.sha256(payload).digest()
+    mean_luma = int.from_bytes(h[:4], "big") / 0xFFFFFFFF
+    phash = int.from_bytes(h[4:12], "big", signed=True)
+    return mean_luma, phash
+
+
+def extract_image_features(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+    """mapInPandas feature extraction over image rows.
+
+    The Arrow batch shape (payload bytes in, small feature rows out) and the
+    pre-filter (only kind='image' rows reach Python) are the production
+    plumbing; only the per-payload decode is stubbed."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "mean_luma": [], "phash": []}
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                meta = row["meta"]
+                if use_real_decoder:
+                    feats = decode_image_real(payload)  # pragma: no cover
+                    luma, ph = feats["mean_luma"], feats["phash"]
+                else:
+                    luma, ph = _fake_features(payload, meta["width"], meta["height"])
+                out["media_id"].append(row["media_id"])
+                out["width"].append(meta["width"])
+                out["height"].append(meta["height"])
+                out["mean_luma"].append(luma)
+                out["phash"].append(ph)
+            yield pd.DataFrame(out)
+
+    images = media.filter(F.col("kind") == "image").select("media_id", "payload", "meta")
+    return images.mapInPandas(extract, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index,
+    computed from metadata only (no payload decode) — sequence+explode stays
+    JVM-side; the decoder would consume (media_id, frame_idx) work units."""
+    videos = media.filter(F.col("kind") == "video")
+    return videos.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — must prune the payload column at scan."""
+    return media.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.avg("meta.width").alias("avg_width"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+    )

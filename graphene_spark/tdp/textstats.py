@@ -1,0 +1,131 @@
+"""Text analysis: language ID, quality scoring, token counting, fingerprinting.
+
+All deterministic, all JVM-side (built-in SQL functions) so every operator has
+an exact DuckDB oracle — no model weights, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# tiny deterministic stopword list per language for the n-gram/stopword
+# language heuristic (public knowledge; the real path plugs in fastText etc.)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "los", "que"],
+}
+
+EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+
+def words(col):
+    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+
+
+def token_count(col):
+    """Whitespace token count (the cheap-but-universal baseline)."""
+    return F.when(F.length(F.trim(col)) == 0, 0).otherwise(F.size(words(col)))
+
+
+def bpe_ish_token_count(col):
+    """BPE-ish token estimate: count of maximal runs matching the GPT-2-style
+    pre-tokenizer classes (word / number / punctuation run).  Deterministic
+    regex; no vocab needed."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), F.lit(0))
+    )
+
+
+def _marker_hits(col, markers: list[str]):
+    w = words(col)
+    return F.size(F.array_intersect(F.array_distinct(w), F.array(*[F.lit(m) for m in markers])))
+
+
+def language_id(col):
+    """Deterministic marker-word language heuristic -> 'en'/'de'/'fr'/'es'/'und'.
+
+    Picks the language with the most distinct marker hits; ties and zero hits
+    -> 'und' (unknown)."""
+    scores = [( _marker_hits(col, m), lang) for lang, m in LANG_MARKERS.items()]
+    # build nested when: max score wins, priority order en>de>fr>es on ties is
+    # avoided by requiring a strict maximum
+    best = None
+    expr = F.lit("und")
+    # compute max of scores
+    mx = F.greatest(*[s for s, _ in scores])
+    for s, lang in scores:
+        cond = (s == mx) & (mx > 0)
+        # strict winner: count how many reach the max; ties -> und
+        expr = F.when(
+            cond
+            & (
+                sum(F.when(s2 == mx, 1).otherwise(0) for s2, _ in scores) == 1
+            ),
+            F.lit(lang),
+        ).otherwise(expr)
+        _ = best
+    return expr
+
+
+def quality_score(col):
+    """Deterministic quality heuristics -> struct of features + composite.
+
+    Features: n_chars, n_tokens, mean token length, punctuation ratio,
+    stopword ratio, uppercase ratio.  Composite in [0,1] favors mid-length,
+    low-punct, stopword-bearing text (the classic Gopher-rules shape)."""
+    n_chars = F.length(col)
+    n_tokens = token_count(col)
+    mean_tok = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
+    n_punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(words(col)), F.array(*[F.lit(s) for s in EN_STOPWORDS]))
+    )
+    stop_ratio = F.when(n_tokens > 0, stop_hits.cast("double") / F.lit(len(EN_STOPWORDS))).otherwise(0.0)
+    n_upper = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
+    upper_ratio = F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(0.0)
+    composite = (
+        F.when((n_tokens >= 5) & (n_tokens <= 100000), 0.4).otherwise(0.0)
+        + F.when((mean_tok >= 3) & (mean_tok <= 12), 0.2).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.2).otherwise(0.0)
+        + stop_ratio * 0.2
+        - upper_ratio * 0.0
+    )
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(composite, 4).alias("quality"),
+    )
+
+
+def fingerprint(col, window: int = 4):
+    """Winnowing-style document fingerprint: min rolling hash over word
+    4-gram hashes — a single 64-bit doc signature for cheap prefiltering."""
+    w = words(col)
+    grams = F.when(F.size(w) < window, F.array(F.concat_ws(" ", w))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - window),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, window)),
+        )
+    )
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text analysis: adds lang_pred, token counts, quality struct,
+    fingerprint.  Single projection — no shuffle."""
+    return docs.withColumns(
+        {
+            "lang_pred": language_id(F.col(text_col)),
+            "n_tokens_ws": token_count(F.col(text_col)),
+            "n_tokens_bpe": bpe_ish_token_count(F.col(text_col)),
+            "q": quality_score(F.col(text_col)),
+            "fingerprint": fingerprint(F.col(text_col)),
+        }
+    )

@@ -1,0 +1,105 @@
+"""Post-import rewrite tests (the Cypher-phase analogs, SURVEY.md §2.8)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from graphene_spark import postprocess as pp
+
+
+@pytest.fixture(scope="module")
+def small_graph(spark):
+    # s1-INPUT->r1-OUTPUT->p1 ; common-INPUT->r1 ; r1-SPECIES->sp
+    nodes = spark.createDataFrame(
+        [
+            (1, "s1", ["PhysicalEntity"]),
+            (2, "r1", ["Event"]),
+            (3, "p1", ["PhysicalEntity"]),
+            (4, "H2O something", ["PhysicalEntity"]),
+            (5, "sp", ["Species"]),
+        ],
+        schema="node_id long, name string, labels array<string>",
+    )
+    edges = spark.createDataFrame(
+        [
+            (1, 2, "INPUT"),
+            (4, 2, "INPUT"),
+            (2, 3, "OUTPUT"),
+            (2, 4, "OUTPUT"),
+            (2, 5, "SPECIES"),
+        ],
+        schema="src long, dst long, rel_type string",
+    )
+    return nodes, edges
+
+
+def test_flag_common(spark, small_graph):
+    nodes, _ = small_graph
+    flagged = pp.flag_common(
+        nodes,
+        ["H2O.*", "ATP.*"],
+        exclude_patterns=[".*ase.*"],
+    )
+    got = {r["name"]: r["common"] for r in flagged.collect()}
+    assert got["H2O something"] is True
+    assert got["s1"] is False  # defaulting: everyone else false
+
+
+def test_two_hop_excludes_common(spark, small_graph):
+    nodes, edges = small_graph
+    common = pp.flag_common(nodes, ["H2O.*"]).filter("common").select("node_id")
+    out, n = pp.two_hop_edges(
+        edges, "INPUT", "OUTPUT", "TO", excluded_ends=common
+    )
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    # s1->p1 kept; anything touching node 4 (common) excluded
+    assert got == {(1, 3)}
+    assert n == 1
+
+
+def test_flip_edges(spark):
+    edges = spark.createDataFrame(
+        [(2, 1, "INPUT"), (1, 2, "INPUT"), (1, 3, "OTHER")],
+        schema="src long, dst long, rel_type string",
+    )
+    flipped = pp.flip_edges(edges, "INPUT")
+    got = {(r["src"], r["dst"], r["rel_type"]) for r in flipped.collect()}
+    assert got == {(1, 2, "INPUT"), (2, 1, "INPUT"), (1, 3, "OTHER")}
+
+
+def test_reify_pairs(spark, small_graph):
+    nodes, edges = small_graph
+    to_edges = spark.createDataFrame(
+        [(1, 3, "TO")], schema="src long, dst long, rel_type string"
+    )
+    to_nodes, out_edges = pp.reify_pairs(to_edges, edges)
+    assert to_nodes.count() == 1
+    rels = {r["rel_type"] for r in out_edges.collect()}
+    assert rels == {"VIA", "RXN", "SPECIES"}
+    assert out_edges.count() == 4  # a->to, to->b, to->r, to->s
+    props = to_nodes.collect()[0]["props"]
+    assert props == {"between": "1", "and": "3"}
+
+
+def test_bounded_path_edges(spark):
+    # chain a->b->c->d->e via mixed rel types; *..3 reaches a->d but not a->e
+    edges = spark.createDataFrame(
+        [(1, 2, "HAS_MEMBER"), (2, 3, "HAS_COMPONENT"), (3, 4, "REFERENCE_ENTITY"), (4, 5, "HAS_MEMBER")],
+        schema="src long, dst long, rel_type string",
+    )
+    start = spark.createDataFrame([(1,)], schema="node_id long")
+    out, n = pp.bounded_path_edges(
+        edges, ["HAS_MEMBER", "HAS_COMPONENT", "REFERENCE_ENTITY"], 3, "ENCODED_BY", start=start
+    )
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    assert got == {(1, 2), (1, 3), (1, 4)}
+
+
+def test_bridge_by_name(spark):
+    a = spark.createDataFrame([(1, "42"), (2, "x")], schema="node_id long, name string")
+    b = spark.createDataFrame([(10, "42"), (11, "y")], schema="node_id long, name string")
+    out, n = pp.bridge_by_name(a, b)
+    assert n == 1
+    r = out.collect()[0]
+    assert (r["src"], r["dst"], r["rel_type"]) == (1, 10, "DATABASE_BRIDGE")

@@ -1,0 +1,137 @@
+"""Training-data-pipeline operator tests: dedup, similarity, textstats, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from graphene_spark.tdp import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near a river bank"),  # near dup of 0
+        (3, "completely different content about spark dataframes and shuffles"),
+        (4, "Der schnelle braune Fuchs und der faule Hund und die Katze ist da"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    got = {r["doc_id"]: (r["dup_group"], r["is_canonical"]) for r in dedup.exact_duplicates(docs).collect()}
+    assert got[0] == (0, True)
+    assert got[1] == (0, False)
+    assert got[2][0] == 2  # near dup is NOT an exact dup
+    assert got[3] == (3, True)
+
+
+def test_minhash_duplicates(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_duplicates(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs  # exact dup certainly collides
+    assert (0, 2) in pairs  # near dup above threshold
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_duplicates(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.simhash_duplicates(docs, max_hamming=10).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+
+
+def test_embedding_near_duplicates(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(8).astype("float32")
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base * 1.001]),  # same direction -> cosine ~1
+        (2, [float(x) for x in rng.randn(8)]),
+    ]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_duplicates(emb, threshold=0.99).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_brute_force_topk_vs_numpy(spark):
+    rng = np.random.RandomState(1)
+    corpus = [(i, [float(x) for x in rng.randn(16)]) for i in range(50)]
+    queries = [(100, [float(x) for x in rng.randn(16)])]
+    cdf = spark.createDataFrame(corpus, schema="vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(queries, schema="query_id long, embedding array<float>")
+    got = similarity.brute_force_topk(cdf, qdf, k=5).orderBy("rank").collect()
+    # numpy reference
+    cm = np.array([c[1] for c in corpus])
+    qv = np.array(queries[0][1])
+    cos = cm @ qv / (np.linalg.norm(cm, axis=1) * np.linalg.norm(qv))
+    expect = list(np.argsort(-cos)[:5])
+    assert [r["vec_id"] for r in got] == expect
+    assert abs(got[0]["cosine"] - cos[expect[0]]) < 1e-6
+
+
+def test_lsh_topk_recall(spark):
+    """LSH ANN must recover most of the true top-k on clustered data."""
+    rng = np.random.RandomState(2)
+    centers = rng.randn(4, 16) * 5
+    corpus = []
+    for i in range(80):
+        c = centers[i % 4]
+        corpus.append((i, [float(x) for x in c + rng.randn(16) * 0.1]))
+    queries = [(0, [float(x) for x in centers[0] + rng.randn(16) * 0.05])]
+    cdf = spark.createDataFrame(corpus, schema="vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(queries, schema="query_id long, embedding array<float>")
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(cdf, qdf, k=10).collect()}
+    approx = {r["vec_id"] for r in similarity.lsh_topk(cdf, qdf, k=10, n_tables=6, n_planes=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall}"
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of a house is it for on to in"),
+            (1, "der die und das ist hier"),
+            (2, ""),
+        ],
+        schema="doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.analyze_documents(df).collect()}
+    assert got[0]["lang_pred"] == "en"
+    assert got[1]["lang_pred"] == "de"
+    assert got[2]["n_tokens_ws"] == 0
+    assert got[0]["n_tokens_ws"] == 14
+    assert got[0]["q"]["n_tokens"] == 14
+    assert 0 <= got[0]["q"]["quality"] <= 1
+    # fingerprint is deterministic
+    got2 = {r["doc_id"]: r for r in textstats.analyze_documents(df).collect()}
+    assert got[0]["fingerprint"] == got2[0]["fingerprint"]
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.make_media_df(spark, n=30)
+    feats = multimodal.extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == len([r for r in media.collect() if r["kind"] == "image"])
+    assert all(0 <= r["mean_luma"] <= 1 for r in rows)
+    # deterministic across runs
+    rows2 = feats.collect()
+    assert {r["media_id"]: r["phash"] for r in rows} == {r["media_id"]: r["phash"] for r in rows2}
+    # frame sampling plan from metadata only
+    plan = multimodal.frame_sample_plan(media, every_n=10)
+    vids = media.filter("kind = 'video'").count()
+    assert plan.count() == vids * 3  # 30 frames / every 10 -> idx 0,10,20
+    # stats prune payload: check it runs and aggregates
+    stats = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
+    assert stats["image"] == 10
+    # real decoder is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_real(b"xx")
