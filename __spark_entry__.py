@@ -1,38 +1,714 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is one operator from SURVEY.md §2 expressed over the
+driver-provided testdata tables (FIXTURES.md §5 mapping), with a DuckDB oracle
+in ``oracle_sql()``.  KG-pipeline-specific entries (extraction, linking,
+connected components) run on deterministic synthetic transcripts and carry no
+SQL oracle (non-SQL-expressible; driver does the rows-only check) — their real
+correctness gate is tests/test_pipeline.py's exact-match comparison against the
+frozen oracle walker.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full KG pipeline over deterministic synthetic transcripts
+    (extraction -> linking -> dedup), returning the emitted triple set."""
+    from graphene_spark import datagen, pipeline
 
+    dic = datagen.make_entity_dictionary(n_entities=100, n_hot=5, seed=42)
+    tx = datagen.make_transcripts(
+        n_convs=40, turns_per_conv=20, n_entities=100, n_hot=5, seed=42
+    )
+    res = pipeline.run_pipeline(
+        spark,
+        spark.createDataFrame(tx),
+        pipeline.dictionary_to_spark(spark, dic),
+        pipeline.all_aliases(dic),
+    )
+    return res["triples"]
+
+
+# ---------------------------------------------------------------------------
+# operator queries over the driver testdata (SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def q_w1_adjacency_next(spark, sf_dir):
+    """W1 NEXT-chain (GeneLoader.groovy:53-69): per user, consecutive events
+    ordered by (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_event_id", F.lead("event_id").over(w))
+        .filter(F.col("next_event_id").isNotNull())
+        .select("user_id", "event_id", "next_event_id")
+    )
+
+
+def q_w1_first_last(spark, sf_dir):
+    """W1 FIRST/LAST edges per partition key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .filter((F.col("rn") == 1) | (F.col("rn_d") == 1))
+        .withColumn(
+            "edge_type", F.when(F.col("rn") == 1, F.lit("FIRST")).otherwise(F.lit("LAST"))
+        )
+        .select("user_id", "event_id", "edge_type")
+    )
+
+
+def q_w2_rank_edges(spark, sf_dir):
+    """W2 rank-carrying edges (ReactomeLoader.groovy:267-269): ordinal of each
+    lineitem within its order."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def q_a1_dedup_first(spark, sf_dir):
+    """A1 get-or-create dedup (Importer.groovy:97-103): first writer wins per
+    part key (order by orderkey, linenumber)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.min(F.struct("l_orderkey", "l_linenumber", "l_quantity")).alias("f"))
+        .select(
+            "l_partkey",
+            F.col("f.l_orderkey").alias("first_orderkey"),
+            F.col("f.l_quantity").alias("first_quantity"),
+        )
+    )
+
+
+def q_a2_last_writer_wins(spark, sf_dir):
+    """A2 augmentOrCreate prop merge (Importer.groovy:105-123): latest event
+    value per user (last writer in (ts, event_id) order)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "value")).alias("l"))
+        .select("user_id", F.col("l.value").alias("last_value"))
+    )
+
+
+def q_a3_label_set_union(spark, sf_dir):
+    """A3 label-set union (Importer.groovy:125-139): sorted distinct event
+    types per user."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ";").alias("labels")
+    )
+
+
+def q_a6_count_by_key(spark, sf_dir):
+    """A6 frequent-hitters scan (notes.txt:152-155) — the hot-entity detector."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+def q_a7_merge_dedup_edges(spark, sf_dir):
+    """A7 MERGE dedup on (src, rel_type, dst): distinct (customer, status)
+    pairs from orders."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_custkey").alias("src"),
+        F.col("o_orderstatus").alias("rel_type"),
+    ).distinct()
+
+
+def q_a8_sorted_set_name(spark, sf_dir):
+    """A8 InterProSet naming (GeneLoader.groovy:161-165): sorted formatted ids
+    joined with '; '."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 1000)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set("l_partkey")),
+                    lambda p: F.format_string("P%06d", p),
+                ),
+                "; ",
+            ).alias("set_name")
+        )
+    )
+
+
+def q_j1_broadcast_equi(spark, sf_dir):
+    """J1 external-id equi-join (Loader.groovy:66-75): orders->customer->nation
+    with broadcast dims."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_j2_deferred_left(spark, sf_dir):
+    """J2 deferred-edge resolution (Loader.groovy:34-51): left join after all
+    nodes exist; unresolved rows flagged, not dropped."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left")
+        .withColumn("is_resolved", F.col("p_partkey").isNotNull())
+        .groupBy("is_resolved")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_j3_dictionary_link(spark, sf_dir):
+    """J3 entity-linking join (GeneLoader.groovy:75-82): mentions (lineitems)
+    against the canonical dictionary (part), projecting canonical names."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+def q_j6_m1_name_denorm(spark, sf_dir):
+    """J6 m:1 name denormalization (ReactomeLoader.groovy:271-277): copy the
+    target's name onto the source row."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey",
+        "c_name",
+        F.col("n_name").alias("nationName"),
+    )
+
+
+def q_j7_two_hop(spark, sf_dir):
+    """J7 2-hop self-join (post-import-cypher.txt:10): supplier pairs bridged
+    by a shared part (restricted key range to bound the output)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 200)
+    a = li.select(F.col("l_suppkey").alias("s1"), "l_partkey").distinct()
+    b = li.select(F.col("l_suppkey").alias("s2"), "l_partkey").distinct()
+    return (
+        a.join(b, "l_partkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+
+
+def q_j10_bridge_by_value(spark, sf_dir):
+    """J10 value-equality bridge (post-import-cypher.txt:21): nation bridged
+    to region on numeric id equality across id spaces."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(r, n.n_nationkey == r.r_regionkey).select(
+        "n_name", F.col("r_name").alias("bridged_region")
+    )
+
+
+def q_j11_left_anti(spark, sf_dir):
+    """J11 anti-join (Loader.groovy:45-47 dangling semantics): customers with
+    no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_p2_null_empty_filter(spark, sf_dir):
+    """P2 null/empty filter (GeneLoader.groovy:25)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("event_type").isNotNull()
+        & (F.col("event_type") != "")
+        & (F.col("value") > 100)
+    ).select("event_id", "event_type", "value")
+
+
+def q_p4_regex_extract(spark, sf_dir):
+    """P4 regex extract (GrameneMongoLoader.groovy:51-55): pull k out of the
+    props JSON-ish string."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r"\"k\": (\d+)", 1).cast("int").alias("k_value"),
+    )
+
+
+def q_p6_xref_split(spark, sf_dir):
+    """P6 xref split-on-first-separator (GrameneMongoLoader.groovy:89-110):
+    source strings 'srcNN' split into prefix and ordinal."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"^([a-z]+)", 1).alias("xref_key"),
+        F.regexp_extract("source", r"(\d+)$", 1).cast("int").alias("xref_val"),
+    )
+
+
+def q_p7_case_conversion(spark, sf_dir):
+    """P7 case conversions (GrameneMongoLoader.groovy:76-78): CONSTANT_CASE
+    and CamelCase-ish forms of the market segment."""
+    c = _t(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        F.upper(seg).alias("constant_case"),
+        F.concat(
+            F.upper(F.substring(seg, 1, 1)), F.lower(F.expr("substring(c_mktsegment, 2)"))
+        ).alias("camel_case"),
+    ).distinct()
+
+
+def q_p9_numeric_coercion(spark, sf_dir):
+    """P9 numeric coercion w/ NULL sentinel (ReactomeLoader.groovy:248-258)."""
+    ev = _t(spark, sf_dir, "events")
+    raw = F.regexp_extract("props", r"(\d+)", 1)
+    return ev.select(
+        "event_id",
+        F.when(raw.rlike(r"^\d+$"), raw.cast("int")).otherwise(F.lit(None)).alias("coerced"),
+    )
+
+
+def q_p11_hot_flag(spark, sf_dir):
+    """P11 hot-key flagging (post-import-cypher.txt:6-8): regex-OR flag with
+    exclusion, then defaulting."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "common",
+            F.coalesce(
+                F.col("event_type").rlike("^(click|view)") & ~F.col("event_type").rlike("signup"),
+                F.lit(False),
+            ),
+        )
+        .groupBy("common")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_s2_split_explode(spark, sf_dir):
+    """S2 INSERT-row splitter analog (LoadMysqlDump.groovy:204-226): split +
+    explode + count — word frequency over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_set_union_sources(spark, sf_dir):
+    """§2.6 union-of-sources (Importer.groovy:21-24): node names from two
+    loaders unioned with provenance."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src_loader")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src_loader")
+    )
+    return c.unionByName(s).groupBy("src_loader").agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# training-data-pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_tdp_exact_dedup(spark, sf_dir):
+    """Exact dedup groups by content hash (md5 so DuckDB can mirror it)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("h")
+    return (
+        d.withColumn("h", F.md5(F.col("text")))
+        .withColumn("dup_group", F.min("doc_id").over(w))
+        .withColumn("is_canonical", F.col("doc_id") == F.col("dup_group"))
+        .select("doc_id", "dup_group", "is_canonical")
+    )
+
+
+def q_tdp_token_count(spark, sf_dir):
+    """Whitespace + regex token counting over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens_ws"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+"), F.lit(0))
+        ).alias("n_tokens_re"),
+    )
+
+
+def q_tdp_quality(spark, sf_dir):
+    """Quality features: chars, tokens, mean token length."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text").cast("double") / n_tokens, 4).alias("mean_token_len"),
+    )
+
+
+def q_tdp_langid_markers(spark, sf_dir):
+    """Marker-word language scoring: distinct 'the/and/of' hits per doc."""
+    d = _t(spark, sf_dir, "documents")
+    markers = ["the", "and", "of", "a", "key"]
+    return d.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.split(F.lower(F.col("text")), " ")),
+                F.array(*[F.lit(m) for m in markers]),
+            )
+        ).alias("en_marker_hits"),
+    )
+
+
+def q_tdp_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the first three vectors as queries."""
+    from graphene_spark.tdp import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, q, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_tdp_fingerprint(spark, sf_dir):
+    """Winnowing fingerprint distribution: distinct fingerprints (md5-based
+    variant so DuckDB can mirror: min md5 of word 4-grams)."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.when(F.size(w) < 4, F.array(F.concat_ws(" ", w))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 4),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 4)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.array_min(F.transform(grams, lambda g: F.md5(g))).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG-pipeline queries on synthetic transcripts (rows-only check — no SQL oracle)
+# ---------------------------------------------------------------------------
+
+def _kg_result(spark, key: str):
+    from graphene_spark import datagen, pipeline
+
+    dic = datagen.make_entity_dictionary(n_entities=100, n_hot=5, seed=42)
+    tx = datagen.make_transcripts(
+        n_convs=40, turns_per_conv=20, n_entities=100, n_hot=5, seed=42
+    )
+    res = pipeline.run_pipeline(
+        spark,
+        spark.createDataFrame(tx),
+        pipeline.dictionary_to_spark(spark, dic),
+        pipeline.all_aliases(dic),
+    )
+    return res[key]
+
+
+def q_kg_triples(spark, sf_dir):
+    return _kg_result(spark, "triples")
+
+
+def q_kg_nodes(spark, sf_dir):
+    return _kg_result(spark, "nodes").select("node_id", "name", "labels")
+
+
+def q_kg_edges(spark, sf_dir):
+    return _kg_result(spark, "edges").select("src", "dst", "rel_type")
+
+
+def q_kg_connected_components(spark, sf_dir):
+    """Canonicalization CC over the synthetic alias graph."""
+    from graphene_spark import canonicalize, datagen, pipeline
+
+    dic = datagen.make_entity_dictionary(n_entities=100, n_hot=5, seed=42)
+    return canonicalize.canonical_entities(
+        pipeline.dictionary_to_spark(spark, dic)
+    )
+
+
+def q_kg_fuzzy_link(spark, sf_dir):
+    """LSH second-chance linking of deliberately corrupted mentions."""
+    from graphene_spark import blocking, datagen, pipeline
+
+    dic = datagen.make_entity_dictionary(n_entities=50, n_hot=3, seed=42)
+    rows = [(f"c{i}", i, f"entity {i:05d}zz", f"entity {i:05d}zz") for i in range(20)]
+    unl = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, surface string, norm string"
+    )
+    out = blocking.fuzzy_link_unmatched(
+        unl, pipeline.dictionary_to_spark(spark, dic), threshold=0.4
+    )
+    return out.select("conv_id", "turn_idx", "entity_id", "canonical_name")
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "w1_adjacency_next": q_w1_adjacency_next,
+        "w1_first_last": q_w1_first_last,
+        "w2_rank_edges": q_w2_rank_edges,
+        "a1_dedup_first": q_a1_dedup_first,
+        "a2_last_writer_wins": q_a2_last_writer_wins,
+        "a3_label_set_union": q_a3_label_set_union,
+        "a6_count_by_key": q_a6_count_by_key,
+        "a7_merge_dedup_edges": q_a7_merge_dedup_edges,
+        "a8_sorted_set_name": q_a8_sorted_set_name,
+        "j1_broadcast_equi": q_j1_broadcast_equi,
+        "j2_deferred_left": q_j2_deferred_left,
+        "j3_dictionary_link": q_j3_dictionary_link,
+        "j6_m1_name_denorm": q_j6_m1_name_denorm,
+        "j7_two_hop": q_j7_two_hop,
+        "j10_bridge_by_value": q_j10_bridge_by_value,
+        "j11_left_anti": q_j11_left_anti,
+        "p2_null_empty_filter": q_p2_null_empty_filter,
+        "p4_regex_extract": q_p4_regex_extract,
+        "p6_xref_split": q_p6_xref_split,
+        "p7_case_conversion": q_p7_case_conversion,
+        "p9_numeric_coercion": q_p9_numeric_coercion,
+        "p11_hot_flag": q_p11_hot_flag,
+        "s2_split_explode": q_s2_split_explode,
+        "set_union_sources": q_set_union_sources,
+        "tdp_exact_dedup": q_tdp_exact_dedup,
+        "tdp_token_count": q_tdp_token_count,
+        "tdp_quality": q_tdp_quality,
+        "tdp_langid_markers": q_tdp_langid_markers,
+        "tdp_cosine_topk": q_tdp_cosine_topk,
+        "tdp_fingerprint": q_tdp_fingerprint,
+        "kg_triples": q_kg_triples,
+        "kg_nodes": q_kg_nodes,
+        "kg_edges": q_kg_edges,
+        "kg_connected_components": q_kg_connected_components,
+        "kg_fuzzy_link": q_kg_fuzzy_link,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "w1_adjacency_next": """
+            SELECT user_id, event_id,
+                   lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id
+            FROM events QUALIFY next_event_id IS NOT NULL
+        """,
+        "w1_first_last": """
+            WITH r AS (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM events)
+            SELECT user_id, event_id,
+                   CASE WHEN rn = 1 THEN 'FIRST' ELSE 'LAST' END AS edge_type
+            FROM r WHERE rn = 1 OR rn_d = 1
+        """,
+        "w2_rank_edges": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS INT) AS rank
+            FROM lineitem
+        """,
+        "a1_dedup_first": """
+            WITH r AS (
+              SELECT l_partkey, l_orderkey, l_quantity,
+                     row_number() OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber) AS rn
+              FROM lineitem)
+            SELECT l_partkey, l_orderkey AS first_orderkey, l_quantity AS first_quantity
+            FROM r WHERE rn = 1
+        """,
+        "a2_last_writer_wins": """
+            WITH r AS (
+              SELECT user_id, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, value AS last_value FROM r WHERE rn = 1
+        """,
+        "a3_label_set_union": """
+            SELECT user_id,
+                   array_to_string(list_sort(list(DISTINCT event_type)), ';') AS labels
+            FROM events GROUP BY user_id
+        """,
+        "a6_count_by_key": """
+            SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+        """,
+        "a7_merge_dedup_edges": """
+            SELECT DISTINCT o_custkey AS src, o_orderstatus AS rel_type FROM orders
+        """,
+        "a8_sorted_set_name": """
+            SELECT l_orderkey,
+                   array_to_string(list_transform(list_sort(list(DISTINCT l_partkey)),
+                                                  p -> printf('P%06d', p)), '; ') AS set_name
+            FROM lineitem WHERE l_orderkey <= 1000 GROUP BY l_orderkey
+        """,
+        "j1_broadcast_equi": """
+            SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "j2_deferred_left": """
+            SELECT p_partkey IS NOT NULL AS is_resolved, count(*) AS cnt
+            FROM lineitem LEFT JOIN (SELECT * FROM part WHERE p_size >= 25) p
+                 ON l_partkey = p_partkey
+            GROUP BY 1
+        """,
+        "j3_dictionary_link": """
+            SELECT p_name, count(*) AS n_mentions
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_name
+        """,
+        "j6_m1_name_denorm": """
+            SELECT c_custkey, c_name, n_name AS nationName
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "j7_two_hop": """
+            WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem WHERE l_partkey <= 200)
+            SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+            FROM e a JOIN e b ON a.l_partkey = b.l_partkey
+            WHERE a.l_suppkey < b.l_suppkey
+        """,
+        "j10_bridge_by_value": """
+            SELECT n_name, r_name AS bridged_region
+            FROM nation JOIN region ON n_nationkey = r_regionkey
+        """,
+        "j11_left_anti": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "p2_null_empty_filter": """
+            SELECT event_id, event_type, value FROM events
+            WHERE event_type IS NOT NULL AND event_type <> '' AND value > 100
+        """,
+        "p4_regex_extract": """
+            SELECT event_id,
+                   CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k_value
+            FROM events
+        """,
+        "p6_xref_split": """
+            SELECT doc_id,
+                   regexp_extract(source, '^([a-z]+)', 1) AS xref_key,
+                   CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) AS xref_val
+            FROM documents
+        """,
+        "p7_case_conversion": """
+            SELECT DISTINCT c_custkey,
+                   upper(c_mktsegment) AS constant_case,
+                   upper(substring(c_mktsegment, 1, 1)) || lower(substring(c_mktsegment, 2)) AS camel_case
+            FROM customer
+        """,
+        "p9_numeric_coercion": """
+            SELECT event_id,
+                   CASE WHEN regexp_matches(regexp_extract(props, '(\\d+)', 1), '^\\d+$')
+                        THEN CAST(regexp_extract(props, '(\\d+)', 1) AS INT) END AS coerced
+            FROM events
+        """,
+        "p11_hot_flag": """
+            SELECT coalesce(regexp_matches(event_type, '^(click|view)')
+                            AND NOT regexp_matches(event_type, 'signup'), false) AS common,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
+        """,
+        "s2_split_explode": """
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word <> '' GROUP BY word
+        """,
+        "set_union_sources": """
+            SELECT src_loader, count(*) AS cnt FROM (
+              SELECT c_name AS name, 'customer' AS src_loader FROM customer
+              UNION ALL
+              SELECT s_name AS name, 'supplier' AS src_loader FROM supplier)
+            GROUP BY src_loader
+        """,
+        "tdp_exact_dedup": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS dup_group,
+                   doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+            FROM documents
+        """,
+        "tdp_token_count": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_tokens_re
+            FROM documents
+        """,
+        "tdp_quality": """
+            SELECT doc_id, length(text) AS n_chars,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   round(CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')), 4) AS mean_token_len
+            FROM documents
+        """,
+        "tdp_langid_markers": """
+            SELECT doc_id,
+                   len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                                      ['the', 'and', 'of', 'a', 'key'])) AS en_marker_hits
+            FROM documents
+        """,
+        "tdp_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine
+              FROM q CROSS JOIN embeddings e),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+              FROM scored)
+            SELECT * FROM ranked WHERE rank <= 5
+        """,
+        "tdp_fingerprint": """
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(ws) < 4 THEN md5(array_to_string(ws, ' '))
+                        ELSE (SELECT min(md5(array_to_string(ws[i:i+3], ' ')))
+                              FROM unnest(range(1, len(ws) - 2)) AS t(i))
+                   END AS fingerprint
+            FROM w
+        """,
+    }

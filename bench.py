@@ -1,0 +1,118 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "kg_turns_per_sec": ...}
+
+The KG stage (extraction+linking over synthetic transcripts, the
+BASELINE.json headline) is timed separately and reported as turns/sec; the
+N-vs-4N scaling protocol lives in bench_scaling.py (writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _force(df) -> int:
+    """Materialize fully (noop sink avoids count()-only column pruning)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = _sf_from_dir(sf_dir)
+
+    from graphene_spark.session import get_spark
+
+    spark = get_spark("graphene-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus) * 2 if cpus.isdigit() else 64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    headline = [
+        "j1_broadcast_equi",
+        "j7_two_hop",
+        "a6_count_by_key",
+        "a8_sorted_set_name",
+        "w1_adjacency_next",
+        "s2_split_explode",
+        "tdp_exact_dedup",
+        "tdp_cosine_topk",
+        "tdp_token_count",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        _force(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # near-dup detection over the real documents table
+    from graphene_spark.tdp import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    _force(dedup.minhash_duplicates(docs, threshold=0.7))
+    timings["tdp_minhash_dedup"] = round(time.perf_counter() - t0, 3)
+
+    # KG stage: extraction + linking throughput (turns/sec) on synthetic
+    # transcripts scaled with sf (sf0.1 -> 60k turns)
+    from graphene_spark import datagen, pipeline
+
+    n_convs = max(int(30000 * sf), 50) if sf > 0 else 300
+    turns_per_conv = 20
+    dic = datagen.make_entity_dictionary(n_entities=500, n_hot=10, seed=42)
+    tx = datagen.make_transcripts(
+        n_convs=n_convs, turns_per_conv=turns_per_conv,
+        n_entities=500, n_hot=10, seed=42,
+    )
+    n_turns = len(tx)
+    tdf = spark.createDataFrame(tx).repartition(int(cpus) if cpus.isdigit() else 32)
+    tdf.persist().count()  # stage input; generation/setup excluded from timing
+    ddf = pipeline.dictionary_to_spark(spark, dic)
+    aliases = pipeline.all_aliases(dic)
+    t0 = time.perf_counter()
+    res = pipeline.run_pipeline(spark, tdf, ddf, aliases)
+    _force(res["triples"])
+    kg_sec = time.perf_counter() - t0
+    timings["kg_extract_link"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_turns": n_turns,
+                "kg_turns_per_sec": round(n_turns / kg_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""MySQL-dump table scan as a Spark source (S1/S2/S3, SURVEY.md §2.1).
+
+The reference state-machine-parses a .sql dump single-threaded
+(LoadMysqlDump.groovy:34-41 states, :98-143 updateState, :204-226 tuple
+splitter) and exposes each table as a lazy row iterator.  Spark-first
+re-expression:
+
+* **DDL parse (small) on the driver**: one pass over the file's CREATE TABLE
+  blocks extracts {table -> [column, ...]} — equivalent of getColumns
+  (LoadMysqlDump.groovy:287-299).  DDL text is KB-scale; no reason to
+  distribute it.
+* **INSERT parsing (big) distributed**: ``spark.read.text`` over the dump,
+  filter to ``INSERT INTO `table``` lines (predicate pushdown on the line
+  prefix), split the VALUES list into per-tuple strings with
+  ``regexp_replace`` + ``split`` + ``explode`` (the `),(` splitter of
+  LoadMysqlDump.groovy:204-226), then ``from_csv`` with quote ``'`` — the
+  CSVParser analog (LoadMysqlDump.groovy:149).
+
+All dump values arrive as strings (reference semantics, SURVEY.md §1.2);
+``'NULL'`` sentinels become real nulls (ReactomeLoader.groovy:255 analog).
+At 100 TB the dump would be splittable by line, so the text scan
+parallelizes; the driver-side DDL pass reads only the header region.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+_CREATE_RE = re.compile(r"^CREATE TABLE `([^`]+)`")
+_COLDEF_RE = re.compile(r"^\s*`([^`]+)`")
+
+
+def parse_ddl(dump_path: str, encoding: str = "ISO-8859-1") -> dict[str, list[str]]:
+    """{table -> ordered column names} from the dump's CREATE TABLE blocks."""
+    tables: dict[str, list[str]] = {}
+    current: str | None = None
+    with open(dump_path, encoding=encoding) as f:
+        for line in f:
+            m = _CREATE_RE.match(line)
+            if m:
+                current = m.group(1)
+                tables[current] = []
+                continue
+            if current is not None:
+                if line.startswith(")"):
+                    current = None
+                    continue
+                cm = _COLDEF_RE.match(line)
+                if cm:
+                    tables[current].append(cm.group(1))
+    return tables
+
+
+def read_table(
+    spark: SparkSession,
+    dump_path: str,
+    table: str,
+    columns: list[str] | None = None,
+    null_sentinel: str = "NULL",
+) -> DataFrame:
+    """One dump table as a DataFrame of string columns.
+
+    Distributed pipeline: text scan -> line filter -> strip INSERT prefix and
+    trailing ');' -> split on '),(' -> explode -> from_csv(quote=').
+    """
+    if columns is None:
+        columns = parse_ddl(dump_path)[table]
+    schema = ", ".join(f"`{c}` string" for c in columns)
+
+    lines = spark.read.text(dump_path)
+    prefix = f"INSERT INTO `{table}` VALUES "
+    rows = (
+        lines.filter(F.col("value").startswith(prefix))
+        # keep only the (...),(...),(...) body
+        .select(
+            F.regexp_replace(
+                F.expr(f"substring(value, {len(prefix) + 1})"), r";\s*$", ""
+            ).alias("body")
+        )
+        # strip outer parens, split tuples on '),(' (tuple splitter,
+        # LoadMysqlDump.groovy:204-226)
+        .select(
+            F.explode(
+                F.split(F.regexp_replace("body", r"^\(|\)$", ""), r"\),\(")
+            ).alias("tuple_str")
+        )
+        .select(
+            F.from_csv(
+                "tuple_str", schema, {"quote": "'", "escape": "\\"}
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    # 'NULL' sentinel -> null (P9 analog, ReactomeLoader.groovy:255)
+    return rows.select(
+        *[F.nullif(F.col(c), F.lit(null_sentinel)).alias(c) for c in columns]
+    )
+
+
+def read_all_tables(spark: SparkSession, dump_path: str) -> dict[str, DataFrame]:
+    """All tables in the dump as DataFrames (lazy — nothing scans until used)."""
+    ddl = parse_ddl(dump_path)
+    return {t: read_table(spark, dump_path, t, cols) for t, cols in ddl.items()}
