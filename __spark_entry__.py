@@ -473,6 +473,40 @@ def q_kg_connected_components(spark, sf_dir):
     )
 
 
+def q_kg_star_graph(spark, sf_dir):
+    """Star-schema load (ReactomeLoader passes) on an in-memory mini schema."""
+    from graphene_spark import starloader
+
+    dbo = spark.createDataFrame(
+        [("1", "Pathway One", "Pathway", "3", "InstanceEdit"),
+         ("2", "Reaction A", "Reaction", "3", "InstanceEdit"),
+         ("3", "Edit", "InstanceEdit", None, None),
+         ("4", "Entity X", "PhysicalEntity", None, None)],
+        "DB_ID string, _displayName string, _class string, created string, created_class string",
+    )
+    rel = spark.createDataFrame(
+        [("2", "4", "PhysicalEntity", "0")],
+        "DB_ID string, input string, input_class string, input_rank string",
+    )
+    g = starloader.build_star_graph({"DatabaseObject": dbo, "Event_2_input": rel})
+    return g["edges"].select("src", "dst", "rel_type")
+
+
+def q_kg_ontology_load(spark, sf_dir):
+    """Ontology document loader (OntologyLoader analog) on synthetic docs."""
+    from graphene_spark import docloaders
+
+    docs = spark.createDataFrame(
+        [(1, "growth", "biological_process", False, ["growing"], ["UniProt:P1"],
+          ["part_of GO:0000002 ! dev"], "has_rank NCBITaxon:species", None),
+         (2, "development", "biological_process", False, None, None, None, None, None)],
+        "_id long, name string, namespace string, is_obsolete boolean, synonym array<string>, "
+        "xref array<string>, relationship array<string>, property_value string, subset array<string>",
+    )
+    out = docloaders.load_ontology(docs, "GO")
+    return out["edge_candidates"].select("src_name", "rel_type", "dst_name")
+
+
 def q_kg_fuzzy_link(spark, sf_dir):
     """LSH second-chance linking of deliberately corrupted mentions."""
     from graphene_spark import blocking, datagen, pipeline
@@ -529,6 +563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "kg_connected_components": q_kg_connected_components,
         "kg_fuzzy_link": q_kg_fuzzy_link,
+        "kg_star_graph": q_kg_star_graph,
+        "kg_ontology_load": q_kg_ontology_load,
     }
 
 

@@ -1,0 +1,228 @@
+"""Document-collection loaders — the GrameneMongoLoader family re-expressed.
+
+The reference walks MongoDB collections one doc at a time
+(GrameneMongoLoader.groovy:23-43) through a shared ``preprocess`` and a
+per-collection ``process``: ontologies (OntologyLoader.groovy:18-54), taxa
+(NCBITaxonLoader), genes (GeneLoader.groovy:21-51).  Here each loader is a
+pure DataFrame transform over a document-shaped table; side-emits (synonyms,
+xrefs, relationships) become exploded edge-candidate frames.
+
+Input schema for ontology docs (one row per term):
+    _id long, name string, namespace string, is_obsolete boolean,
+    synonym array<string>, xref array<string>,            -- "KEY:VALUE ..."
+    relationship array<string>,                           -- "part_of GO:0001 ! lbl"
+    property_value string, subset array<string>
+Gene docs (GeneLoader.groovy:21-51):
+    _id string, name string, taxon_id long, map string, region string,
+    start int, end int, xrefs map<string, array<string>>
+
+Everything stays JVM-side: regexp_extract for the relationship grammar
+(OntologyLoader.groovy:16), split-on-first-colon for xrefs
+(GrameneMongoLoader.groovy:89-110), initcap-style namespace labels
+(GrameneMongoLoader.groovy:76-78).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .graph import adjacency_edges
+
+# OntologyLoader.groovy:16 — predicate + namespaced id + label
+_REL_RE = r"([a-z_]+) ([A-Z][A-Z0-9]{1,9}):0*(\d+) ! (.*)"
+# GrameneMongoLoader.groovy:51-55
+_RANK_RE = r"has_rank NCBITaxon:(\w+)"
+
+XREF_DROP_KEYS = ["GC_ID"]
+XREF_SPLIT_VALUE_KEYS = ["Reactome", "VZ", "http", "loinc"]
+
+
+def _camel(col):
+    """underscore_case -> CamelCase (GrameneMongoLoader.groovy:76-78)."""
+    return F.regexp_replace(F.initcap(F.regexp_replace(F.lower(col), "_", " ")), " ", "")
+
+
+def load_ontology(docs: DataFrame, path: str) -> dict[str, DataFrame]:
+    """One ontology collection -> nodes + edge candidates.
+
+    Mirrors OntologyLoader.process: drop obsolete terms (P3), drop the long
+    ``def`` field (P1), namespace + subsets become extra labels, synonyms
+    become Name nodes + SYNONYM edges, xrefs become XREF edges with the
+    key-specific value handling (P6), relationship strings parse into
+    dynamically-typed edges (P5), has_rank extracts a rank prop (P4).
+
+    ``path`` is the ontology prefix (GO/PO/TO/...) — the primary label and
+    the term-name namespace (``GO:123``)."""
+    live = docs.filter(~F.coalesce(F.col("is_obsolete"), F.lit(False))).filter(
+        F.col("_id").isNotNull()
+    )
+    term_name = F.format_string("%s:%d", F.lit(path), F.col("_id"))
+
+    rank = F.regexp_extract(F.coalesce(F.col("property_value"), F.lit("")), _RANK_RE, 1)
+    nodes = live.select(
+        term_name.alias("name"),
+        F.array_sort(
+            F.array_union(
+                F.array(F.lit(path), F.lit("Ontology"), _camel(F.coalesce("namespace", F.lit("")))),
+                F.transform(F.coalesce("subset", F.array().cast("array<string>")), _camel),
+            )
+        ).alias("labels"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(F.lit("name"), F.lit("rank")),
+                F.array(F.col("name"), F.when(rank != "", F.initcap(rank))),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("props"),
+    ).withColumn("labels", F.array_distinct(F.filter("labels", lambda x: x != "")))
+
+    synonyms = (
+        live.select(term_name.alias("src_name"), F.explode(F.coalesce("synonym", F.array().cast("array<string>"))).alias("syn"))
+        .filter(F.col("syn").isNotNull() & (F.col("syn") != ""))
+        .select(
+            "src_name",
+            F.col("syn").alias("dst_name"),
+            F.lit("SYNONYM").alias("rel_type"),
+        )
+    )
+    name_nodes = synonyms.select(
+        F.col("dst_name").alias("name"),
+        F.array(F.lit("Name")).alias("labels"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["name"])  # distinct() unsupported on map columns
+
+    # xrefs: "KEY:VALUE" split on first colon; GC_ID dropped; certain keys
+    # keep only the pre-space part of the value (GrameneMongoLoader.groovy:89-110)
+    xr = (
+        live.select(term_name.alias("src_name"), F.explode(F.coalesce("xref", F.array().cast("array<string>"))).alias("x"))
+        .withColumn("key", F.split("x", ":", 2).getItem(0))
+        .withColumn("val", F.split("x", ":", 2).getItem(1))
+        .filter(~F.col("key").isin(XREF_DROP_KEYS) & F.col("val").isNotNull())
+        .withColumn(
+            "val",
+            F.when(
+                F.col("key").isin(XREF_SPLIT_VALUE_KEYS), F.split("val", " ", 2).getItem(0)
+            ).otherwise(F.col("val")),
+        )
+        .select(
+            "src_name",
+            F.concat_ws(":", "key", "val").alias("dst_name"),
+            F.lit("XREF").alias("rel_type"),
+        )
+    )
+    xref_nodes = xr.select(
+        F.col("dst_name").alias("name"),
+        F.array(F.split("dst_name", ":", 2).getItem(0)).alias("labels"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["name"])
+
+    # relationship strings -> dynamic predicate edges, zeros stripped
+    rels = (
+        live.select(term_name.alias("src_name"), F.explode(F.coalesce("relationship", F.array().cast("array<string>"))).alias("r"))
+        .withColumn("pred", F.upper(F.regexp_extract("r", _REL_RE, 1)))
+        .withColumn("ns", F.regexp_extract("r", _REL_RE, 2))
+        .withColumn("oid", F.regexp_extract("r", _REL_RE, 3))
+        .filter(F.col("pred") != "")
+        .select(
+            "src_name",
+            F.format_string("%s:%d", F.col("ns"), F.col("oid").cast("long")).alias("dst_name"),
+            F.col("pred").alias("rel_type"),
+        )
+    )
+
+    edge_candidates = synonyms.unionByName(xr).unionByName(rels).withColumn(
+        "props", F.create_map().cast("map<string,string>")
+    )
+    return {
+        "nodes": nodes.unionByName(name_nodes).unionByName(xref_nodes).dropDuplicates(["name"]),
+        "edge_candidates": edge_candidates,
+    }
+
+
+def load_genes(genes: DataFrame, taxon_index: DataFrame | None = None) -> dict[str, DataFrame]:
+    """Gene docs -> gene nodes, SPECIES edges, location props, adjacency chains.
+
+    Mirrors GeneLoader: empty-key/value pruning (GeneLoader.groovy:25),
+    location concat ``map:region`` (GeneLoader.groovy:132), taxon FK join
+    (J4, GeneLoader.groovy:119-128), per-region ordered FIRST/NEXT/LAST
+    chains (W1, GeneLoader.groovy:53-69).
+
+    ``taxon_index``: optional (taxon_id long, taxon_name string) dimension —
+    broadcast-joined for SPECIES edges."""
+    g = genes.filter(F.col("_id").isNotNull() & (F.col("_id") != ""))
+    nodes = g.select(
+        F.col("_id").alias("name"),
+        F.array(F.lit("Gene")).alias("labels"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(F.lit("name"), F.lit("location"), F.lit("start"), F.lit("end")),
+                F.array(
+                    F.col("name"),
+                    F.concat_ws(":", "map", "region"),
+                    F.col("start").cast("string"),
+                    F.col("end").cast("string"),
+                ),
+            ),
+            lambda k, v: v.isNotNull() & (v != ""),
+        ).alias("props"),
+    )
+
+    species_edges = None
+    if taxon_index is not None:
+        species_edges = (
+            g.join(F.broadcast(taxon_index), "taxon_id")
+            .select(
+                F.col("_id").alias("src_name"),
+                F.col("taxon_name").alias("dst_name"),
+                F.lit("SPECIES").alias("rel_type"),
+                F.create_map().cast("map<string,string>").alias("props"),
+            )
+        )
+
+    # adjacency per (map, region) ordered by start (W1)
+    located = g.filter(F.col("region").isNotNull() & F.col("start").isNotNull()).withColumn(
+        "_reg", F.concat_ws(":", "map", "region")
+    )
+    chains = adjacency_edges(located, "_reg", "start", "_id").withColumn(
+        "props", F.create_map().cast("map<string,string>")
+    )
+    region_nodes = located.select(
+        F.col("_reg").alias("name"),
+        F.array(F.lit("Region")).alias("labels"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["name"])
+
+    out_edges = chains if species_edges is None else species_edges.unionByName(chains)
+    return {
+        "nodes": nodes.unionByName(region_nodes).dropDuplicates(["name"]),
+        "edge_candidates": out_edges,
+    }
+
+
+def load_gene_ontology_xrefs(
+    genes: DataFrame,
+    evidence_col: str = "xrefs",
+) -> DataFrame:
+    """J5: gene ontology-evidence joins — explode the per-ontology xref map
+    twice (ontology -> accessions), carrying the evidence code as an edge
+    prop (GeneLoader.groovy:84-117).
+
+    genes must carry ``xrefs map<string, array<string>>`` where the key is
+    the ontology path (GO/PO/...) and values are "accession:evidence" strings.
+    """
+    return (
+        genes.select(F.col("_id").alias("src_name"), F.explode(evidence_col).alias("onto", "accs"))
+        .select("src_name", "onto", F.explode("accs").alias("acc_ev"))
+        .withColumn("acc", F.split("acc_ev", ":", 2).getItem(0))
+        .withColumn("evidence", F.split("acc_ev", ":", 2).getItem(1))
+        .select(
+            "src_name",
+            F.format_string("%s:%d", F.col("onto"), F.col("acc").cast("long")).alias("dst_name"),
+            F.upper(F.col("onto")).alias("rel_type"),
+            F.map_filter(
+                F.map_from_arrays(F.array(F.lit("evidence")), F.array(F.col("evidence"))),
+                lambda k, v: v.isNotNull(),
+            ).alias("props"),
+        )
+    )

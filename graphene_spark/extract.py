@@ -70,6 +70,97 @@ def with_stable_order(transcripts: DataFrame) -> DataFrame:
     return transcripts.withColumn("turn_seq", F.row_number().over(w))
 
 
+# Flat extraction output: one row per turn (kind='turn', metric counts), per
+# mention (kind='mention'), and per raw triple (kind='triple').  Flat columns
+# keep the Arrow transfer cheap — the nested array<struct> variant
+# (make_extract_udf below) spends most of its time serializing nested types.
+EXTRACT_ROWS_SCHEMA = (
+    "conv_id string, turn_idx int, kind string, subj string, pred string, "
+    "obj string, surface string, n_mentions int, n_triples int, is_error int"
+)
+
+
+def extract_rows(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
+    """Single-pass extraction via mapInPandas with a flat output schema.
+
+    The explode happens inside the Arrow batch (mapInPandas may emit more
+    rows than it receives), so the plan is scan -> mapInPandas — no nested
+    columns, no separate explode, still zero shuffles."""
+    alias_tuple = tuple(sorted(set(aliases)))
+
+    def gen(batches):
+        import pandas as pd  # local import for executor workers
+
+        gaz = _gaz_for(alias_tuple)
+        for pdf in batches:
+            conv_o, turn_o, kind_o = [], [], []
+            subj_o, pred_o, obj_o, surf_o = [], [], [], []
+            nm_o, nt_o, err_o = [], [], []
+
+            def emit(conv, turn, kind, subj=None, pred=None, obj=None,
+                     surface=None, nm=0, nt=0, err=0):
+                conv_o.append(conv); turn_o.append(turn); kind_o.append(kind)
+                subj_o.append(subj); pred_o.append(pred); obj_o.append(obj)
+                surf_o.append(surface); nm_o.append(nm); nt_o.append(nt)
+                err_o.append(err)
+
+            for conv, turn, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+                turn = int(turn)
+                try:
+                    if text is None or text == "" or "\x00" in text:
+                        emit(conv, turn, "turn", err=1)
+                        continue
+                    mentions, triples = rules.extract_turn(text, gaz)
+                    emit(conv, turn, "turn", nm=len(mentions), nt=len(triples))
+                    for m in mentions:
+                        emit(conv, turn, "mention", surface=m)
+                    for t in triples:
+                        emit(conv, turn, "triple", subj=t.subj, pred=t.pred, obj=t.obj)
+                except Exception:  # noqa: BLE001 — skip bad rows with a metric
+                    emit(conv, turn, "turn", err=1)
+
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_o, "turn_idx": turn_o, "kind": kind_o,
+                    "subj": subj_o, "pred": pred_o, "obj": obj_o,
+                    "surface": surf_o, "n_mentions": nm_o, "n_triples": nt_o,
+                    "is_error": err_o,
+                }
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
+        gen, schema=EXTRACT_ROWS_SCHEMA
+    )
+
+
+def triples_from_rows(rows: DataFrame) -> DataFrame:
+    return rows.filter(F.col("kind") == "triple").select(
+        "conv_id", "turn_idx", "subj", "pred", "obj"
+    )
+
+
+def mentions_from_rows(rows: DataFrame) -> DataFrame:
+    return rows.filter(F.col("kind") == "mention").select(
+        "conv_id",
+        "turn_idx",
+        "surface",
+        F.trim(F.regexp_replace(F.lower(F.col("surface")), r"[\s_\-]+", " ")).alias("norm"),
+    )
+
+
+def metrics_from_rows(rows: DataFrame) -> DataFrame:
+    return (
+        rows.filter(F.col("kind") == "turn")
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("is_error").alias("n_error_turns"),
+            F.sum("n_triples").alias("n_raw_triples"),
+            F.sum("n_mentions").alias("n_mentions"),
+        )
+    )
+
+
 def make_extract_udf(aliases: list[str]):
     """Build the Arrow-batched extraction UDF over a frozen alias list."""
     alias_tuple = tuple(sorted(set(aliases)))
@@ -105,50 +196,16 @@ def make_extract_udf(aliases: list[str]):
 def extract_triples(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
     """transcripts -> one row per extracted raw triple (+ provenance).
 
-    Returns columns: conv_id, turn_idx, subj (nullable surface-norm), pred,
-    obj, plus ``mentions`` retained upstream.  Narrow until here — the first
-    shuffle in the pipeline is the linking join.
+    Narrow until here — the first shuffle in the pipeline is the linking join.
     """
-    udf = make_extract_udf(aliases)
-    ex = transcripts.withColumn("_ex", udf(F.col("text")))
-    return (
-        ex.select(
-            "conv_id",
-            "turn_idx",
-            F.col("_ex.mentions").alias("mentions"),
-            F.explode(F.col("_ex.triples")).alias("t"),
-        )
-        .select(
-            "conv_id",
-            "turn_idx",
-            "mentions",
-            F.col("t.subj").alias("subj"),
-            F.col("t.pred").alias("pred"),
-            F.col("t.obj").alias("obj"),
-        )
-    )
+    return triples_from_rows(extract_rows(transcripts, aliases))
 
 
 def extract_mentions(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
     """transcripts -> one row per mention: conv_id, turn_idx, surface, norm."""
-    udf = make_extract_udf(aliases)
-    ex = transcripts.withColumn("_ex", udf(F.col("text")))
-    return (
-        ex.select("conv_id", "turn_idx", F.explode(F.col("_ex.mentions")).alias("surface"))
-        .withColumn(
-            "norm",
-            F.trim(F.regexp_replace(F.lower(F.col("surface")), r"[\s_\-]+", " ")),
-        )
-    )
+    return mentions_from_rows(extract_rows(transcripts, aliases))
 
 
 def extraction_metrics(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
     """Per-conversation error/extract counters (Importer.groovy:40-43 analog)."""
-    udf = make_extract_udf(aliases)
-    ex = transcripts.withColumn("_ex", udf(F.col("text")))
-    return ex.groupBy("conv_id").agg(
-        F.count("*").alias("n_turns"),
-        F.sum("_ex.is_error").alias("n_error_turns"),
-        F.sum(F.size("_ex.triples")).alias("n_raw_triples"),
-        F.sum(F.size("_ex.mentions")).alias("n_mentions"),
-    )
+    return metrics_from_rows(extract_rows(transcripts, aliases))

@@ -1,0 +1,115 @@
+"""spark-submit entrypoint: the whole-run driver (LoadGrameneGraphDb.main analog).
+
+    spark-submit --py-files graphene_spark.zip -m graphene_spark.job \
+        --transcripts <path-or-"synthetic:N"> --dictionary <parquet|synthetic> \
+        --out /data/kg --buckets 64 [--resume]
+
+Stages (each a DataFrame DAG, scheduled together — the reference's fixed
+loader ordering, Importer.groovy:21-24, becomes data dependencies):
+  1. extraction + linking (pipeline.run_pipeline)
+  2. canonicalization (connected components over the alias graph)
+  3. materialization with per-bucket lineage (resumable, insert-if-absent)
+  4. post-process rewrites with regression counters (postprocess.*)
+
+The run is idempotent: re-invoking with --resume skips completed buckets
+(the 'refuses to touch an existing store' guard of LoadGrameneGraphDb.groovy:40-42
+becomes 'continue where the lineage table says we stopped')."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description="graphene-spark KG construction job")
+    ap.add_argument("--transcripts", required=True,
+                    help="parquet path, or 'synthetic:<n_turns>' for generated input")
+    ap.add_argument("--dictionary", default="synthetic",
+                    help="parquet path of entity dictionary, or 'synthetic'")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--resume", action="store_true",
+                    help="keep existing output; skip buckets marked done in lineage")
+    ap.add_argument("--link-strategy", default="broadcast", choices=["broadcast", "salted"])
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from graphene_spark import datagen, datagen_spark, materialize, pipeline
+    from graphene_spark.session import get_spark
+
+    # only stop the session on exit if this invocation created it (embedding
+    # callers — tests, notebooks — keep theirs)
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark("graphene-kg-job", master=args.master)
+
+    if args.dictionary == "synthetic":
+        dic_pdf = datagen.make_entity_dictionary(n_entities=500, n_hot=10, seed=42)
+        dictionary = pipeline.dictionary_to_spark(spark, dic_pdf)
+        aliases = pipeline.all_aliases(dic_pdf)
+    else:
+        dictionary = spark.read.parquet(args.dictionary)
+        aliases = [
+            a for (al,) in dictionary.select("aliases").collect() for a in al
+        ]
+
+    if args.transcripts.startswith("synthetic:"):
+        n_turns = int(args.transcripts.split(":", 1)[1])
+        transcripts = datagen_spark.make_transcripts_df(
+            spark, n_convs=max(n_turns // 20, 1), turns_per_conv=20
+        )
+    else:
+        transcripts = spark.read.parquet(args.transcripts)
+
+    if not args.resume:
+        materialize.reset_output(args.out)
+
+    def process_bucket(bucket_df):
+        res = pipeline.run_pipeline(
+            spark, bucket_df, dictionary, aliases, link_strategy=args.link_strategy
+        )
+        counters = {
+            r["k"]: r["v"]
+            for r in res["metrics"]
+            .agg(
+                F.sum("n_turns").alias("n_turns"),
+                F.sum("n_error_turns").alias("n_errors"),
+            )
+            .selectExpr("stack(2, 'n_turns', n_turns, 'n_errors', n_errors) as (k, v)")
+            .collect()
+        }
+        counters["n_dangling"] = res["dangling"].count()
+        return {
+            "triples": res["triples"],
+            "nodes": res["nodes"],
+            "edges": res["edges"],
+            "counters": counters,
+        }
+
+    totals = materialize.run_with_lineage(
+        spark, transcripts, args.out, process_bucket, n_buckets=args.buckets
+    )
+
+    lineage = spark.read.parquet(os.path.join(args.out, "lineage"))
+    summary = {
+        "buckets": totals,
+        "triples": spark.read.parquet(os.path.join(args.out, "triples")).count(),
+        "nodes": spark.read.parquet(os.path.join(args.out, "nodes")).count(),
+        "edges": spark.read.parquet(os.path.join(args.out, "edges")).count(),
+        "lineage_rows": lineage.count(),
+    }
+    print(json.dumps(summary))
+    if owns_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -49,24 +49,13 @@ def language_id(col):
 
     Picks the language with the most distinct marker hits; ties and zero hits
     -> 'und' (unknown)."""
-    scores = [( _marker_hits(col, m), lang) for lang, m in LANG_MARKERS.items()]
-    # build nested when: max score wins, priority order en>de>fr>es on ties is
-    # avoided by requiring a strict maximum
-    best = None
-    expr = F.lit("und")
-    # compute max of scores
+    scores = [(_marker_hits(col, m), lang) for lang, m in LANG_MARKERS.items()]
     mx = F.greatest(*[s for s, _ in scores])
+    n_at_max = sum(F.when(s == mx, 1).otherwise(0) for s, _ in scores)
+    expr = F.lit("und")
     for s, lang in scores:
-        cond = (s == mx) & (mx > 0)
-        # strict winner: count how many reach the max; ties -> und
-        expr = F.when(
-            cond
-            & (
-                sum(F.when(s2 == mx, 1).otherwise(0) for s2, _ in scores) == 1
-            ),
-            F.lit(lang),
-        ).otherwise(expr)
-        _ = best
+        # strict winner only: ties or zero hits stay 'und'
+        expr = F.when((s == mx) & (mx > 0) & (n_at_max == 1), F.lit(lang)).otherwise(expr)
     return expr
 
 
