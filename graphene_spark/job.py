@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--resume", action="store_true",
                     help="keep existing output; skip buckets marked done in lineage")
     ap.add_argument("--link-strategy", default="broadcast", choices=["broadcast", "salted"])
+    ap.add_argument("--fuzzy-threshold", type=float, default=None,
+                    help="enable LSH second-chance linking at this Jaccard threshold")
+    ap.add_argument("--postprocess", action="store_true",
+                    help="run graph rewrites after materialization (the post-import-cypher phase)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -74,7 +78,9 @@ def main(argv: list[str] | None = None) -> None:
 
     def process_bucket(bucket_df):
         res = pipeline.run_pipeline(
-            spark, bucket_df, dictionary, aliases, link_strategy=args.link_strategy
+            spark, bucket_df, dictionary, aliases,
+            link_strategy=args.link_strategy,
+            fuzzy_threshold=args.fuzzy_threshold,
         )
         counters = {
             r["k"]: r["v"]
@@ -106,6 +112,48 @@ def main(argv: list[str] | None = None) -> None:
         "edges": spark.read.parquet(os.path.join(args.out, "edges")).count(),
         "lineage_rows": lineage.count(),
     }
+
+    if args.postprocess:
+        # the post-import-cypher phase: densifying rewrites over the
+        # materialized graph, each with its return-count regression counter
+        from graphene_spark import postprocess as pp
+
+        nodes = spark.read.parquet(os.path.join(args.out, "nodes"))
+        edges = spark.read.parquet(os.path.join(args.out, "edges")).select(
+            "src", "dst", "rel_type"
+        )
+        # hot entities are the 'common' exclusion set (post-import-cypher.txt:6-10)
+        hot = nodes.join(
+            dictionary.filter("is_hot").select(F.col("canonical_name").alias("name")),
+            "name",
+            "left_semi",
+        ).select("node_id")
+        # SAME_AS: entities sharing a synonym name node (2-hop through the
+        # flipped SYNONYM edge), excluding hot entities
+        flipped = edges.unionByName(
+            edges.filter("rel_type = 'SYNONYM'").select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"),
+                F.lit("SYNONYM_OF").alias("rel_type"),
+            )
+        )
+        same_as, n_same = pp.two_hop_edges(
+            flipped, "SYNONYM", "SYNONYM_OF", "SAME_AS", excluded_ends=hot
+        )
+        # ANCESTOR: bounded <=3-hop closure over hierarchy predicates (J9)
+        anc, n_anc = pp.bounded_path_edges(
+            edges, ["IS_A", "PART_OF"], 3, "ANCESTOR"
+        )
+        pp_edges = same_as.unionByName(anc).withColumn(
+            "props", F.create_map().cast("map<string,string>")
+        )
+        n_inserted = materialize.merge_insert_absent(
+            spark, pp_edges, os.path.join(args.out, "edges"), ["src", "rel_type", "dst"]
+        )
+        summary["postprocess"] = {
+            "same_as": n_same,
+            "ancestor": n_anc,
+            "edges_inserted": n_inserted,
+        }
     print(json.dumps(summary))
     if owns_session:
         spark.stop()

@@ -35,6 +35,8 @@ def run_pipeline(
     aliases: list[str],
     *,
     link_strategy: str = "broadcast",
+    fuzzy_threshold: float | None = None,
+    canonicalize_dictionary: bool = False,
 ) -> dict:
     """Run extraction+linking+graph build; returns dict of DataFrames + counters.
 
@@ -50,12 +52,90 @@ def run_pipeline(
     # (triples/mentions/metrics/nodes/edges) each re-run the cheap narrow
     # stage instead; callers that force ALL outputs repeatedly can persist
     # explicitly.
+    if canonicalize_dictionary:
+        # collapse entities connected through shared aliases onto one
+        # canonical id/name (connected components over the alias graph —
+        # NodeCache augmentOrCreate at scale, Importer.groovy:97-123)
+        from . import canonicalize
+
+        cmap = canonicalize.canonical_entities(dictionary)
+        canon_names = dictionary.select(
+            F.col("entity_id").alias("canonical_id"), F.col("canonical_name").alias("_cn")
+        )
+        dictionary = (
+            dictionary.join(cmap, "entity_id")
+            .join(F.broadcast(canon_names), "canonical_id")
+            .select(
+                F.col("canonical_id").alias("entity_id"),
+                F.col("_cn").alias("canonical_name"),
+                "aliases",
+                "entity_type",
+                "is_hot",
+            )
+            .groupBy("entity_id", "canonical_name")
+            .agg(
+                F.array_distinct(F.flatten(F.collect_list("aliases"))).alias("aliases"),
+                F.min("entity_type").alias("entity_type"),
+                F.max("is_hot").alias("is_hot"),
+            )
+        )
+
     ex = extract.extract_rows(transcripts, aliases)
     raw_triples = extract.triples_from_rows(ex)
     mentions = extract.mentions_from_rows(ex)
 
     triples, dangling = linking.link_triples(raw_triples, dictionary, strategy=link_strategy)
     linked_mentions, unlinked = linking.link_mentions(mentions, dictionary, strategy=link_strategy)
+
+    if fuzzy_threshold is not None:
+        # second-chance LSH linking for exact-miss mentions and triple
+        # subjects (MinHash blocking + Jaccard verify, north_star)
+        from . import blocking
+
+        etypes = dictionary.select("entity_id", "entity_type")
+        recovered = blocking.fuzzy_link_unmatched(
+            unlinked, dictionary, threshold=fuzzy_threshold
+        ).join(F.broadcast(etypes), "entity_id")
+        linked_mentions = linked_mentions.unionByName(
+            recovered.select(*linked_mentions.columns)
+        )
+        unlinked = unlinked.join(
+            recovered.select("conv_id", "turn_idx", "norm"),
+            ["conv_id", "turn_idx", "norm"],
+            "left_anti",
+        )
+        # dangling triples whose subject fuzzy-resolves get recovered too
+        dang_subj = dangling.filter(F.col("subj").isNotNull())
+        rec_t = blocking.fuzzy_link_unmatched(
+            dang_subj.withColumnRenamed("subj", "norm"), dictionary, threshold=fuzzy_threshold
+        )
+        recovered_triples = (
+            rec_t.select(
+                F.col("canonical_name").alias("subj"), "pred", "obj", "conv_id", "turn_idx"
+            )
+            .groupBy("subj", "pred", "obj")
+            .agg(F.min(F.struct("conv_id", "turn_idx")).alias("prov"))
+            .select(
+                "subj", "pred", "obj",
+                F.col("prov.conv_id").alias("conv_id"),
+                F.col("prov.turn_idx").alias("turn_idx"),
+            )
+        )
+        triples = (
+            triples.unionByName(recovered_triples)
+            .groupBy("subj", "pred", "obj")
+            .agg(F.min(F.struct("conv_id", "turn_idx")).alias("prov"))
+            .select(
+                "subj", "pred", "obj",
+                F.col("prov.conv_id").alias("conv_id"),
+                F.col("prov.turn_idx").alias("turn_idx"),
+            )
+        )
+        dangling = dang_subj.join(
+            rec_t.select("conv_id", "turn_idx", "pred", "obj"),
+            ["conv_id", "turn_idx", "pred", "obj"],
+            "left_anti",
+        ).unionByName(dangling.filter(F.col("subj").isNull()))
 
     # --- node candidates -----------------------------------------------------
     # entity nodes (canonical dictionary entries that were actually seen)
