@@ -333,6 +333,32 @@ def q_s2_split_explode(spark, sf_dir):
     )
 
 
+def q_a4_distinct_set(spark, sf_dir):
+    """A4 distinct-set accumulation (DomainLoader.groovy:24): lowered distinct
+    type values, the broadcast-filter build side."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(F.lower("event_type").alias("sig_type")).distinct()
+
+
+def q_p1_field_drop(spark, sf_dir):
+    """P1 field-drop projection (GrameneMongoLoader.groovy:46-49): project by
+    dropping columns; Catalyst prunes the scan accordingly."""
+    o = _t(spark, sf_dir, "orders")
+    return o.drop("o_orderdate", "o_orderpriority", "o_orderstatus")
+
+
+def q_p8_synonym_normalize(spark, sf_dir):
+    """P8 synonym normalization (GrameneMongoLoader.groovy:59-64):
+    scalar-or-list -> distinct set, here over split source tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), "|"
+        ).alias("norm_set"),
+    )
+
+
 def q_set_union_sources(spark, sf_dir):
     """§2.6 union-of-sources (Importer.groovy:21-24): node names from two
     loaders unioned with provenance."""
@@ -551,6 +577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_numeric_coercion": q_p9_numeric_coercion,
         "p11_hot_flag": q_p11_hot_flag,
         "s2_split_explode": q_s2_split_explode,
+        "a4_distinct_set": q_a4_distinct_set,
+        "p1_field_drop": q_p1_field_drop,
+        "p8_synonym_normalize": q_p8_synonym_normalize,
         "set_union_sources": q_set_union_sources,
         "tdp_exact_dedup": q_tdp_exact_dedup,
         "tdp_token_count": q_tdp_token_count,
@@ -694,6 +723,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, count(*) AS cnt
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             WHERE word <> '' GROUP BY word
+        """,
+        "a4_distinct_set": """
+            SELECT DISTINCT lower(event_type) AS sig_type FROM events
+        """,
+        "p1_field_drop": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        """,
+        "p8_synonym_normalize": """
+            SELECT doc_id,
+                   array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|') AS norm_set
+            FROM documents
         """,
         "set_union_sources": """
             SELECT src_loader, count(*) AS cnt FROM (
