@@ -1,0 +1,68 @@
+"""Property-based tests for the frozen extraction grammar (hypothesis)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graphene_spark import rules
+
+ALIASES = ["Ent 00001", "ent_00002", "ENT-00003", "Alpha Beta"]
+GAZ = rules.build_gazetteer_regex(ALIASES)
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+    max_size=300,
+)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_extract_turn_never_raises_and_is_deterministic(text):
+    """Arbitrary text must never crash the extractor, and extraction is a
+    pure function (same input -> same output)."""
+    a = rules.extract_turn(text, GAZ)
+    b = rules.extract_turn(text, GAZ)
+    assert a == b
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_normalize_alias_idempotent(s):
+    once = rules.normalize_alias(s)
+    assert rules.normalize_alias(once) == once
+    assert "  " not in once and "_" not in once and "-" not in once
+
+
+@given(st.sampled_from(ALIASES), st.sampled_from([" ", "_", "-", "  "]))
+@settings(max_examples=50, deadline=None)
+def test_alias_variants_collide(alias, sep):
+    """Case/separator variants of an alias normalize onto one key
+    (GrameneMongoLoader.groovy:76-78 invariant)."""
+    variant = alias.upper().replace(" ", sep).replace("_", sep).replace("-", sep)
+    assert rules.normalize_alias(variant) == rules.normalize_alias(alias)
+
+
+@given(
+    st.sampled_from(["part_of", "is_a", "regulates"]),
+    st.sampled_from(["GO", "PO", "SO"]),
+    st.integers(min_value=1, max_value=9999999),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=100, deadline=None)
+def test_ontology_pattern_strips_leading_zeros(pred, ns, num, pad):
+    """Any zero-padding of the object id yields the same canonical triple
+    (Long.valueOf semantics, OntologyLoader.groovy:102)."""
+    text = f"Ent 00001 noted. {pred} {ns}:{'0' * pad}{num} ! some label"
+    _, triples = rules.extract_turn(text, GAZ)
+    assert rules.Triple("ent 00001", pred.upper(), f"{ns}:{num}") in triples
+
+
+@given(st.text(alphabet="abcdefghij _-", min_size=0, max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_mentions_only_from_gazetteer(noise):
+    """Text without any alias tokens yields no mentions (no false fires)."""
+    if any(rules.normalize_alias(a) in rules.normalize_alias(noise) for a in ALIASES):
+        return
+    mentions, _ = rules.extract_turn(noise, GAZ)
+    assert mentions == []
