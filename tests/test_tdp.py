@@ -95,6 +95,24 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.8, f"LSH recall {recall}"
 
 
+def test_ivf_topk_recall(spark):
+    """IVF ANN recovers the true top-k on clustered data (same fixture shape
+    as the LSH test)."""
+    rng = np.random.RandomState(3)
+    centers = rng.randn(4, 16) * 5
+    corpus = []
+    for i in range(80):
+        c = centers[i % 4]
+        corpus.append((i, [float(x) for x in c + rng.randn(16) * 0.1]))
+    queries = [(0, [float(x) for x in centers[1] + rng.randn(16) * 0.05])]
+    cdf = spark.createDataFrame(corpus, schema="vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(queries, schema="query_id long, embedding array<float>")
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(cdf, qdf, k=10).collect()}
+    approx = {r["vec_id"] for r in similarity.ivf_topk(cdf, qdf, k=10, n_lists=6, n_probe=3).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall}"
+
+
 def test_textstats(spark):
     df = spark.createDataFrame(
         [
