@@ -96,6 +96,32 @@ def test_spark_extraction_matches_oracle_walker(
     )
 
 
+def test_native_extraction_parity(spark, transcripts_df, dictionary_pdf):
+    """The JVM-native extractor and the pandas-UDF extractor agree exactly on
+    triples, mentions, and error counts (same frozen grammar, two engines)."""
+    aliases = all_aliases(dictionary_pdf)
+    py_rows = extract.extract_rows(transcripts_df, aliases)
+    nv_rows = extract.extract_rows_native(transcripts_df, aliases)
+
+    key = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    pt = extract.triples_from_rows(py_rows).toPandas().sort_values(key, kind="mergesort")
+    nt = extract.triples_from_rows(nv_rows).toPandas().sort_values(key, kind="mergesort")
+    pd.testing.assert_frame_equal(
+        pt.reset_index(drop=True).astype(str), nt.reset_index(drop=True).astype(str)
+    )
+
+    mkey = ["conv_id", "turn_idx", "surface", "norm"]
+    pm = extract.mentions_from_rows(py_rows).toPandas().sort_values(mkey, kind="mergesort")
+    nm = extract.mentions_from_rows(nv_rows).toPandas().sort_values(mkey, kind="mergesort")
+    pd.testing.assert_frame_equal(
+        pm.reset_index(drop=True).astype(str), nm.reset_index(drop=True).astype(str)
+    )
+
+    pe = extract.metrics_from_rows(py_rows).agg(F.sum("n_error_turns")).collect()[0][0]
+    ne = extract.metrics_from_rows(nv_rows).agg(F.sum("n_error_turns")).collect()[0][0]
+    assert pe == ne
+
+
 def test_error_turns_counted_not_fatal(spark, transcripts_df, transcripts_pdf, dictionary_pdf):
     aliases = all_aliases(dictionary_pdf)
     m = extract.extraction_metrics(transcripts_df, aliases).agg(
