@@ -134,6 +134,30 @@ def test_textstats(spark):
     assert got[0]["fingerprint"] == got2[0]["fingerprint"]
 
 
+def test_curate_corpus_end_to_end(spark):
+    from graphene_spark.tdp import curate
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy dog near a river bank today"),  # near dup
+        (3, "for it is a long and entirely different passage about the spark engine and its shuffles"),
+        (4, "x"),  # fails min_tokens
+        (5, ""),  # empty
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    out = curate.curate_corpus(docs, min_quality=0.2, min_tokens=5, near_dup_threshold=0.5)
+    ids = {r["doc_id"] for r in out["corpus"].select("doc_id").collect()}
+    assert ids == {0, 3}  # 1 exact-dup'd away, 2 near-dup'd away, 4/5 gated
+    c = out["counters"]
+    assert c["input"] == 6
+    assert c["after_quality_gate"] == 4
+    assert c["after_exact_dedup"] == 3
+    assert c["after_near_dedup"] == 2
+    dropped = {r["doc_id"] for r in out["dropped"].select("doc_id").collect()}
+    assert dropped == {1, 2, 4, 5}
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.make_media_df(spark, n=30)
     feats = multimodal.extract_image_features(media)
