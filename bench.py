@@ -60,6 +60,10 @@ def main() -> None:
         "tdp_cosine_topk",
         "tdp_token_count",
     ]
+    # JVM warmup (codegen, parquet footer cache, committer init) so the first
+    # timed query doesn't absorb session start-up costs
+    _force(queries["a6_count_by_key"](spark, sf_dir))
+
     timings: dict[str, float] = {}
     for name in headline:
         t0 = time.perf_counter()

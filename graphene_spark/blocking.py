@@ -40,12 +40,27 @@ def shingle(col, n: int = 3):
     )
 
 
+_MASK31 = (1 << 31) - 1
+
+
 def minhash_signature(shingles_col, num_hashes: int = 32):
-    """array<bigint> of per-seed min hashes over the shingle set."""
+    """array<bigint> of per-seed min hashes over the shingle set.
+
+    Carter-Wegman construction: TWO xxhash evaluations per shingle, the K
+    per-seed hashes are h_i = a + i*b (masked to 31 bits each so ANSI-mode
+    long arithmetic can never overflow) — ~16x fewer hash evaluations than
+    K independent xxhash calls at equivalent LSH quality."""
+    pairs = F.transform(
+        shingles_col,
+        lambda sh: F.struct(
+            F.xxhash64(sh).bitwiseAND(F.lit(_MASK31)).alias("a"),
+            F.xxhash64(sh, F.lit(1)).bitwiseAND(F.lit(_MASK31)).alias("b"),
+        ),
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(shingles_col, lambda sh: F.xxhash64(sh, seed))
+        lambda i: F.array_min(
+            F.transform(pairs, lambda p: p["a"] + i * p["b"])
         ),
     )
 

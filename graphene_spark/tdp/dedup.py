@@ -8,6 +8,7 @@ quadratic verify step only ever runs within blocks.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -16,6 +17,16 @@ from ..blocking import band_table, jaccard, shingle
 
 def _norm_text(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Small inputs often arrive as one parquet split; the shingle/hash work
+    is CPU-heavy per row, so fan out to the cluster's parallelism before it
+    (at real scale inputs have enough splits and this is a no-op)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -48,6 +59,38 @@ def word_shingles(col, n: int = 3):
     )
 
 
+def _minhash_udf(num_hashes: int):
+    """Arrow-batched numpy MinHash: per shingle two stable crc32 hashes, the
+    K signatures via Carter-Wegman broadcasting (a + i*b).
+
+    The pure-JVM variant (blocking.minhash_signature) evaluates interpreted
+    higher-order functions per element — measured ~20ms/doc at K=32 vs
+    microseconds here; same lesson as extraction (Arrow-batched Python beats
+    interpreted Catalyst expressions for per-token work)."""
+    import numpy as np
+    from zlib import crc32
+
+    ks = np.arange(num_hashes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def compute(shingles: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingles:
+            if sh is None or len(sh) == 0:
+                out.append([0] * num_hashes)
+                continue
+            # b hashes the REVERSED string: crc32(s, seed1) and crc32(s, seed2)
+            # differ only by a length-dependent XOR (CRC linearity), which
+            # would correlate all K minhashes; reversing the input gives a
+            # genuinely different linear map per message.
+            a = np.fromiter((crc32(s.encode()) for s in sh), dtype=np.int64, count=len(sh))
+            b = np.fromiter((crc32(s[::-1].encode()) for s in sh), dtype=np.int64, count=len(sh))
+            out.append((a[:, None] + ks[None, :] * b[:, None]).min(axis=0).tolist())
+        return pd.Series(out)
+
+    return compute
+
+
 def minhash_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -63,16 +106,11 @@ def minhash_duplicates(
     shingle -> minhash -> band -> bucket self-join -> exact-Jaccard verify.
     The self-join is on (band_idx, band_sig) so only near-dups collide."""
     rows = num_hashes // bands
+    docs = _ensure_parallelism(docs)
     sig = docs.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), ngram_words).alias("_sh"),
-    ).withColumn(
-        "_sig",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda seed: F.array_min(F.transform(F.col("_sh"), lambda sh: F.xxhash64(sh, seed))),
-        ),
-    )
+    ).withColumn("_sig", _minhash_udf(num_hashes)(F.col("_sh")))
     banded = sig.select(
         "_id",
         "_sh",
@@ -157,6 +195,7 @@ def simhash_duplicates(
     within hamming distance 3 shares at least one of 4 exact bands), verify
     with full hamming distance."""
     n_bands = 64 // band_bits
+    docs = _ensure_parallelism(docs)
     sigs = docs.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_sim"))
     banded = sigs.select(
         "_id",
@@ -199,6 +238,7 @@ def ngram_jaccard_pairs(
     """Direct n-gram Jaccard near-dup with cheap prefix blocking (compare only
     docs sharing the normalized text prefix block) — the brute-force baseline
     the LSH variants are measured against at small scale."""
+    docs = _ensure_parallelism(docs)
     base = docs.select(
         F.col(id_col).alias("_id"),
         shingle(F.col(text_col), ngram_chars).alias("_sh"),
@@ -230,6 +270,7 @@ def embedding_near_duplicates(
     (deterministic: plane components are hash-derived).  Verify cosine within
     buckets.  Scale path: near-identical vectors share all sign bits with
     high probability, so the self-join is bucket-local."""
+    embeddings = _ensure_parallelism(embeddings)
     dim = F.size(F.col(vec_col))
     # deterministic pseudo-random plane component p[j][k] from xxhash64(seed, j, k)
     def plane_dot(j):
