@@ -79,20 +79,19 @@ def main() -> None:
     timings["tdp_minhash_dedup"] = round(time.perf_counter() - t0, 3)
 
     # KG stage: extraction + linking throughput (turns/sec) on synthetic
-    # transcripts scaled with sf (sf0.1 -> 60k turns)
-    from graphene_spark import datagen, pipeline
+    # transcripts scaled with sf (sf0.1 -> 600k turns), generated DISTRIBUTED
+    # so the measured region is engine throughput, not driver-side pandas
+    from graphene_spark import datagen, datagen_spark, pipeline
 
-    n_convs = max(int(30000 * sf), 50) if sf > 0 else 300
+    n_convs = max(int(300_000 * sf), 50) if sf > 0 else 300
     turns_per_conv = 20
-    dic = datagen.make_entity_dictionary(n_entities=500, n_hot=10, seed=42)
-    tx = datagen.make_transcripts(
-        n_convs=n_convs, turns_per_conv=turns_per_conv,
-        n_entities=500, n_hot=10, seed=42,
-    )
-    n_turns = len(tx)
     n_cores = int(cpus) if cpus.isdigit() else 32
-    tdf = spark.createDataFrame(tx).repartition(n_cores)
-    tdf.persist().count()  # stage input; generation/setup excluded from timing
+    dic = datagen.make_entity_dictionary(n_entities=500, n_hot=10, seed=42)
+    tdf = datagen_spark.make_transcripts_df(
+        spark, n_convs=n_convs, turns_per_conv=turns_per_conv,
+        n_entities=500, n_hot=10, seed=42, partitions=n_cores * 2,
+    )
+    n_turns = tdf.persist().count()  # input staged; generation excluded from timing
     ddf = pipeline.dictionary_to_spark(spark, dic)
     aliases = pipeline.all_aliases(dic)
     # warm the Python worker pool (one trivial pandas-UDF task per core):
