@@ -33,16 +33,43 @@ def _append_parquet(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
-def merge_insert_absent(spark: SparkSession, df: DataFrame, path: str, keys: list[str]) -> int:
-    """Insert-if-absent on ``keys`` (idempotent MERGE).  Returns rows inserted."""
-    incoming = df.dropDuplicates(keys)
+KEY_BUCKETS = 64  # key-hash partition count of merged tables
+
+
+def merge_insert_absent(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    key_buckets: int = KEY_BUCKETS,
+) -> int:
+    """Insert-if-absent on ``keys`` (idempotent MERGE).  Returns rows inserted.
+
+    The table is laid out partitioned by a key-hash bucket (``_kb``), so the
+    anti-join against existing data reads ONLY the partitions the incoming
+    batch touches (partition pruning) instead of the whole table — the
+    parquet emulation of Iceberg's MERGE INTO on a bucket-partitioned table.
+    Without this, a B-bucket resumable run costs O(B^2) table scans."""
+    incoming = df.dropDuplicates(keys).withColumn(
+        "_kb", F.pmod(F.xxhash64(*keys), F.lit(key_buckets)).cast("int")
+    )
     if os.path.exists(path):
-        existing = spark.read.parquet(path).select(*keys)
-        incoming = incoming.join(existing, keys, "left_anti")
+        touched = [r["_kb"] for r in incoming.select("_kb").distinct().collect()]
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col("_kb").isin(touched))  # partition-pruned scan
+            .select(*keys, "_kb")
+        )
+        incoming = incoming.join(existing, [*keys, "_kb"], "left_anti")
     n = incoming.count()
     if n:
-        _append_parquet(incoming, path)
+        incoming.write.mode("append").partitionBy("_kb").parquet(path)
     return n
+
+
+def read_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Read a merged table without the layout column."""
+    return spark.read.parquet(path).drop("_kb")
 
 
 def conv_bucket(col, n_buckets: int):
