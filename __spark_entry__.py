@@ -767,10 +767,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "tdp_cosine_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+            -- DOUBLE casts: list_cosine_similarity on FLOAT[] computes in
+            -- float32 and diverges from Spark's float64 math at ~1e-6
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
             scored AS (
               SELECT q.query_id, e.vec_id,
-                     round(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine
+                     round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cosine
               FROM q CROSS JOIN embeddings e),
             ranked AS (
               SELECT query_id, vec_id, cosine,

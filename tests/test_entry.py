@@ -69,12 +69,15 @@ def test_query_matches_oracle(spark, ddb, name):
     )
     assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
     g, e = _normalize(got), _normalize(exp)
-    # numeric columns: tolerant compare; everything else exact
+    # EXACT comparison including floats — the driver hashes values, so any
+    # float drift between engines is a failure (compute both sides in the
+    # same precision instead of tolerating drift here)
     for c in g.columns:
         if pd.api.types.is_float_dtype(g[c]) or pd.api.types.is_float_dtype(e[c]):
-            assert (
-                (g[c].astype(float) - e[c].astype(float)).abs().max() or 0.0
-            ) < 1e-6, f"{name}: numeric drift in {c}"
+            assert (g[c].astype(float).fillna(0) == e[c].astype(float).fillna(0)).all(), (
+                f"{name}: float values differ in column {c} "
+                f"(max diff {(g[c].astype(float) - e[c].astype(float)).abs().max()})"
+            )
         else:
             assert g[c].astype(str).tolist() == e[c].astype(str).tolist(), (
                 f"{name}: values differ in column {c}"
