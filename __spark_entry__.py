@@ -33,6 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full KG pipeline over deterministic synthetic transcripts
     (extraction -> linking -> dedup), returning the emitted triple set."""
     from graphene_spark import datagen, pipeline
+    from graphene_spark.session import ensure_shipped
+
+    ensure_shipped(spark)  # executors need the package for the pandas UDFs
 
     dic = datagen.make_entity_dictionary(n_entities=100, n_hot=5, seed=42)
     tx = datagen.make_transcripts(
@@ -463,6 +466,9 @@ def q_tdp_fingerprint(spark, sf_dir):
 
 def _kg_result(spark, key: str):
     from graphene_spark import datagen, pipeline
+    from graphene_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
 
     dic = datagen.make_entity_dictionary(n_entities=100, n_hot=5, seed=42)
     tx = datagen.make_transcripts(

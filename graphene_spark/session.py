@@ -14,6 +14,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers of ANY
+    session — including sessions the caller built without get_spark (e.g. a
+    test harness).  Zips the package once and ships it with addPyFile (the
+    runtime analog of spark-submit --py-files); idempotent per session."""
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "graphene_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        tmp = shutil.make_archive(
+            zip_base + "_build", "zip", os.path.dirname(pkg_dir), "graphene_spark"
+        )
+        os.replace(tmp, zip_path)  # atomic: concurrent callers see a full zip
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — already added in this context
+        pass
+
+
 def get_spark(
     app_name: str = "graphene-spark",
     master: str | None = None,
@@ -61,4 +83,6 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_shipped(spark)
+    return spark
