@@ -179,7 +179,7 @@ def metrics_from_rows(rows: DataFrame) -> DataFrame:
 # that cross-checks the grammar.
 
 _NATIVE_ONTO = r"([a-z_]+) ([A-Z][A-Z0-9]{1,9}):0*(\d+) ! ([^.;|\n]*)"
-_NATIVE_XREF = r"xref ([A-Za-z][A-Za-z0-9_]*):([^\s.;,]+)"
+_NATIVE_XREF = r"xref ([A-Za-z][A-Za-z0-9_]*):([^.;,\n]+)"
 _NATIVE_RANK = r"has_rank NCBITaxon:(\w+)"
 _NATIVE_SYN = r"synonym: ([^.;|\n]+)"
 

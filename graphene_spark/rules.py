@@ -18,7 +18,10 @@ Pattern provenance (reference semantics, re-expressed — not copied):
 * ``XREF_PATTERN`` + key handling mirrors GrameneMongoLoader.groovy:89-110:
   split ``KEY:VALUE`` on the first colon, drop ``GC_ID`` keys, and for keys in
   {Reactome, VZ, http, loinc} keep only the part of the value before the first
-  space (the rest is a description).
+  space (the rest is a description).  The value capture takes the whole
+  phrase (up to ``.;,`` or newline) so space-containing values reach the
+  split — non-split keys keep the full value verbatim, exactly as the
+  reference keeps the whole Mongo field.
 * ``RANK_PATTERN`` mirrors GrameneMongoLoader.groovy:51-55
   ``property_value =~ /has_rank NCBITaxon:(\\w+)/`` with ``.capitalize()``.
 * ``SYNONYM_PATTERN`` mirrors the synonym side-emit
@@ -43,7 +46,7 @@ from dataclasses import dataclass
 ONTOLOGY_RELATIONSHIP_PATTERN = re.compile(
     r"\b([a-z_]+) ([A-Z][A-Z0-9]{1,9}):0*(\d+) ! ([^.;|\n]*)"
 )
-XREF_PATTERN = re.compile(r"\bxref ([A-Za-z][A-Za-z0-9_]*):([^\s.;,]+)(?: \(([^)]*)\))?")
+XREF_PATTERN = re.compile(r"\bxref ([A-Za-z][A-Za-z0-9_]*):([^.;,\n]+)")
 RANK_PATTERN = re.compile(r"\bhas_rank NCBITaxon:(\w+)\b")
 SYNONYM_PATTERN = re.compile(r"\bsynonym: ([^.;|\n]+)")
 

@@ -25,7 +25,15 @@ def ensure_shipped(spark: SparkSession) -> None:
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_base = os.path.join(tempfile.gettempdir(), "graphene_spark_pkg")
     zip_path = zip_base + ".zip"
-    if not os.path.exists(zip_path):
+    # Rebuild whenever any package source is newer than the zip — a cached
+    # zip from a previous build would ship stale code to executors.
+    newest_src = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _dirs, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
         tmp = shutil.make_archive(
             zip_base + "_build", "zip", os.path.dirname(pkg_dir), "graphene_spark"
         )

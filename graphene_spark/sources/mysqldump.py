@@ -11,10 +11,11 @@ re-expression:
   distribute it.
 * **INSERT parsing (big) distributed**: ``spark.read.text`` over the dump,
   filter to ``INSERT INTO `table``` lines (predicate pushdown on the line
-  prefix), split the VALUES list into per-tuple strings with
-  ``regexp_replace`` + ``split`` + ``explode`` (the `),(` splitter of
-  LoadMysqlDump.groovy:204-226), then ``from_csv`` with quote ``'`` — the
-  CSVParser analog (LoadMysqlDump.groovy:149).
+  prefix), extract per-tuple strings with a QUOTE-AWARE regex
+  (``regexp_extract_all`` matching balanced ``'...'`` segments — the
+  state-machine tuple splitter of LoadMysqlDump.groovy:204-226, which tracks
+  quoting so a value containing ``),(`` cannot mis-split), then ``from_csv``
+  with quote ``'`` — the CSVParser analog (LoadMysqlDump.groovy:149).
 
 All dump values arrive as strings (reference semantics, SURVEY.md §1.2);
 ``'NULL'`` sentinels become real nulls (ReactomeLoader.groovy:255 analog).
@@ -31,6 +32,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CREATE_RE = re.compile(r"^CREATE TABLE `([^`]+)`")
 _COLDEF_RE = re.compile(r"^\s*`([^`]+)`")
+
+# One VALUES tuple, quote-aware: inside the parens, either a complete
+# single-quoted string (backslash escapes honoured, so \' does not close the
+# string) or any run of non-quote/non-paren characters.  Unquoted fields in a
+# dump are numbers/NULL and never contain parens, so this matches exactly the
+# tuples the reference's quote-tracking state machine yields
+# (LoadMysqlDump.groovy:204-226) — a value containing "),(" stays intact.
+_TUPLE_PATTERN = r"\((?:'(?:[^'\\]|\\.)*'|[^'()])*\)"
 
 
 def parse_ddl(dump_path: str, encoding: str = "ISO-8859-1") -> dict[str, list[str]]:
@@ -63,8 +72,8 @@ def read_table(
 ) -> DataFrame:
     """One dump table as a DataFrame of string columns.
 
-    Distributed pipeline: text scan -> line filter -> strip INSERT prefix and
-    trailing ');' -> split on '),(' -> explode -> from_csv(quote=').
+    Distributed pipeline: text scan -> line filter -> strip INSERT prefix ->
+    quote-aware tuple extraction -> explode -> from_csv(quote=').
     """
     if columns is None:
         columns = parse_ddl(dump_path)[table]
@@ -80,12 +89,15 @@ def read_table(
                 F.expr(f"substring(value, {len(prefix) + 1})"), r";\s*$", ""
             ).alias("body")
         )
-        # strip outer parens, split tuples on '),(' (tuple splitter,
-        # LoadMysqlDump.groovy:204-226)
+        # quote-aware tuple matcher (LoadMysqlDump.groovy:204-226): a "),("
+        # INSIDE a quoted value never splits a tuple
         .select(
             F.explode(
-                F.split(F.regexp_replace("body", r"^\(|\)$", ""), r"\),\(")
-            ).alias("tuple_str")
+                F.regexp_extract_all("body", F.lit(_TUPLE_PATTERN), F.lit(0))
+            ).alias("tuple_paren")
+        )
+        .select(
+            F.expr("substring(tuple_paren, 2, length(tuple_paren) - 2)").alias("tuple_str")
         )
         .select(
             F.from_csv(

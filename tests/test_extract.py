@@ -28,6 +28,13 @@ def test_rules_xref_semantics():
     assert t2 == [rules.Triple("ent 00002", "XREF", "Reactome:R123")]
     _, t3 = rules.extract_turn("ENT-00002 has xref UniProt:P12345.", gaz)
     assert t3 == [rules.Triple("ent 00002", "XREF", "UniProt:P12345")]
+    # split-value keys with a plain space-separated description also keep
+    # only the name (the val.split(' ',1)[0] branch, GrameneMongoLoader.groovy:102-106)
+    _, t4 = rules.extract_turn("ENT-00002 has xref loinc:L77 some trailing words.", gaz)
+    assert t4 == [rules.Triple("ent 00002", "XREF", "loinc:L77")]
+    # non-split keys keep the WHOLE value verbatim, spaces included
+    _, t5 = rules.extract_turn("ENT-00002 has xref TAIR:AT1 G1000.", gaz)
+    assert t5 == [rules.Triple("ent 00002", "XREF", "TAIR:AT1 G1000")]
 
 
 def test_rules_rank_and_synonym():

@@ -76,6 +76,19 @@ def test_read_table_values_and_nulls(spark, dump_path):
     assert rows["3"]["created"] is None
 
 
+def test_read_table_quote_aware_tuple_split(spark, tmp_path):
+    """A value containing '),(' must NOT split the tuple — the reference's
+    quote-tracking state machine semantics (LoadMysqlDump.groovy:204-226)."""
+    dump = (
+        "CREATE TABLE `t` (\n  `id` int(10) NOT NULL,\n  `v` text\n) ENGINE=MyISAM;\n\n"
+        "INSERT INTO `t` VALUES (1,'a),(b'),(2,'c (paren) d'),(3,'e\\'),(f'),(4,NULL);\n"
+    )
+    p = tmp_path / "tricky.sql"
+    p.write_text(dump, encoding="ISO-8859-1")
+    rows = {r["id"]: r["v"] for r in mysqldump.read_table(spark, str(p), "t").collect()}
+    assert rows == {"1": "a),(b", "2": "c (paren) d", "3": "e'),(f", "4": None}
+
+
 def test_classify_tables():
     got = starloader.classify_tables(
         ["DatabaseObject", "Pathway", "Event_2_input", "Pathway_2_name"]
