@@ -3,10 +3,10 @@
 Each ``queries()`` entry is one operator from SURVEY.md §2 expressed over the
 driver-provided testdata tables (FIXTURES.md §5 mapping), with a DuckDB oracle
 in ``oracle_sql()``.  KG-pipeline-specific entries (extraction, linking,
-connected components) run on deterministic synthetic transcripts and carry no
-SQL oracle (non-SQL-expressible; driver does the rows-only check) — their real
-correctness gate is tests/test_pipeline.py's exact-match comparison against the
-frozen oracle walker.
+connected components) run on deterministic synthetic transcripts; their
+oracles are frozen VALUES constants computed independently of Spark by
+scripts/gen_kg_oracles.py (oracle walker + union-find + brute-force Jaccard),
+on top of tests/test_pipeline.py's exact-match P/R gate.
 """
 
 from __future__ import annotations
@@ -461,10 +461,13 @@ def q_tdp_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# KG-pipeline queries on synthetic transcripts (rows-only check — no SQL oracle)
+# KG-pipeline queries on deterministic synthetic transcripts.  Each has a
+# frozen VALUES oracle (graphene_spark/kg_expected.py) computed INDEPENDENTLY
+# by scripts/gen_kg_oracles.py: the single-process oracle walker + pure-Python
+# union-find / brute-force Jaccard — no Spark code in the answer path.
 # ---------------------------------------------------------------------------
 
-def _kg_result(spark, key: str):
+def _kg_result(spark):
     from graphene_spark import datagen, pipeline
     from graphene_spark.session import ensure_shipped
 
@@ -480,33 +483,58 @@ def _kg_result(spark, key: str):
         pipeline.dictionary_to_spark(spark, dic),
         pipeline.all_aliases(dic),
     )
-    return res[key]
+    return res
 
 
 def q_kg_triples(spark, sf_dir):
-    return _kg_result(spark, "triples")
+    return _kg_result(spark)["triples"]
 
 
 def q_kg_nodes(spark, sf_dir):
-    return _kg_result(spark, "nodes").select("node_id", "name", "labels")
-
-
-def q_kg_edges(spark, sf_dir):
-    return _kg_result(spark, "edges").select("src", "dst", "rel_type")
-
-
-def q_kg_connected_components(spark, sf_dir):
-    """Canonicalization CC over the synthetic alias graph."""
-    from graphene_spark import canonicalize, datagen, pipeline
-
-    dic = datagen.make_entity_dictionary(n_entities=100, n_hot=5, seed=42)
-    return canonicalize.canonical_entities(
-        pipeline.dictionary_to_spark(spark, dic)
+    """Flagship node output, driver-canonicalizable: labels as a ';'-joined
+    sorted string (build_nodes already sorts the label set); node ids are a
+    deterministic-hash implementation detail and stay out of the contract."""
+    return _kg_result(spark)["nodes"].select(
+        "name", F.array_join("labels", ";").alias("labels")
     )
 
 
+def q_kg_edges(spark, sf_dir):
+    """Edges resolved back to endpoint names (node_id -> name is 1:1 by the
+    uniqueness guarantee, so the name-based edge set is the id-based one)."""
+    res = _kg_result(spark)
+    ids = res["nodes"].select("node_id", "name")
+    src = ids.withColumnsRenamed({"node_id": "src", "name": "src_name"})
+    dst = ids.withColumnsRenamed({"node_id": "dst", "name": "dst_name"})
+    return (
+        res["edges"]
+        .join(F.broadcast(src), "src")
+        .join(F.broadcast(dst), "dst")
+        .select("src_name", "rel_type", "dst_name")
+    )
+
+
+def q_kg_connected_components(spark, sf_dir):
+    """Canonicalization CC over an alias-sharing dictionary: entity i shares
+    an alias with its i//3 group, so components have size 3 and canonical_id
+    = 3*(i//3) (union-find ground truth in kg_expected)."""
+    from graphene_spark import canonicalize
+
+    rows = [
+        (i, f"Ent {i:05d}", [f"e{i:03d}", f"shared {i // 3:02d}"], "Gene", False)
+        for i in range(30)
+    ]
+    dic = spark.createDataFrame(
+        rows,
+        "entity_id long, canonical_name string, aliases array<string>, "
+        "entity_type string, is_hot boolean",
+    )
+    return canonicalize.canonical_entities(dic).select("entity_id", "canonical_id")
+
+
 def q_kg_star_graph(spark, sf_dir):
-    """Star-schema load (ReactomeLoader passes) on an in-memory mini schema."""
+    """Star-schema load (ReactomeLoader passes) on an in-memory mini schema,
+    edges resolved to display names."""
     from graphene_spark import starloader
 
     dbo = spark.createDataFrame(
@@ -521,7 +549,13 @@ def q_kg_star_graph(spark, sf_dir):
         "DB_ID string, input string, input_class string, input_rank string",
     )
     g = starloader.build_star_graph({"DatabaseObject": dbo, "Event_2_input": rel})
-    return g["edges"].select("src", "dst", "rel_type")
+    ids = g["nodes"].select("node_id", "name")
+    src = ids.withColumnsRenamed({"node_id": "src", "name": "src_name"})
+    dst = ids.withColumnsRenamed({"node_id": "dst", "name": "dst_name"})
+    return (
+        g["edges"].join(src, "src").join(dst, "dst")
+        .select("src_name", "rel_type", "dst_name")
+    )
 
 
 def q_kg_ontology_load(spark, sf_dir):
@@ -540,7 +574,9 @@ def q_kg_ontology_load(spark, sf_dir):
 
 
 def q_kg_fuzzy_link(spark, sf_dir):
-    """LSH second-chance linking of deliberately corrupted mentions."""
+    """LSH second-chance linking of deliberately corrupted mentions.  32
+    one-row bands give exhaustive recall at threshold 0.4, so the output must
+    equal the brute-force Jaccard ground truth in kg_expected."""
     from graphene_spark import blocking, datagen, pipeline
 
     dic = datagen.make_entity_dictionary(n_entities=50, n_hot=3, seed=42)
@@ -549,7 +585,8 @@ def q_kg_fuzzy_link(spark, sf_dir):
         rows, "conv_id string, turn_idx int, surface string, norm string"
     )
     out = blocking.fuzzy_link_unmatched(
-        unl, pipeline.dictionary_to_spark(spark, dic), threshold=0.4
+        unl, pipeline.dictionary_to_spark(spark, dic), threshold=0.4,
+        num_hashes=32, bands=32,
     )
     return out.select("conv_id", "turn_idx", "entity_id", "canonical_name")
 
@@ -603,8 +640,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _values_sql(columns: list[str], types: list[str], rows: list[tuple]) -> str:
+    """Render frozen expected rows as a DuckDB VALUES relation.  The first
+    row's values are CAST so column types match the Spark result exactly."""
+    def lit(v, t):
+        if v is None:
+            return "NULL"
+        if t == "VARCHAR":
+            return "'" + str(v).replace("'", "''") + "'"
+        return str(v)
+
+    rendered = []
+    for i, r in enumerate(rows):
+        vals = [
+            f"CAST({lit(v, t)} AS {t})" if i == 0 else lit(v, t)
+            for v, t in zip(r, types)
+        ]
+        rendered.append("(" + ", ".join(vals) + ")")
+    return (
+        f"SELECT * FROM (VALUES {', '.join(rendered)}) AS t({', '.join(columns)})"
+    )
+
+
+def _kg_oracles() -> dict[str, str]:
+    from graphene_spark import kg_expected as ke
+
+    return {
+        "kg_triples": _values_sql(ke.KG_TRIPLES_COLUMNS, ke.KG_TRIPLES_TYPES, ke.KG_TRIPLES_ROWS),
+        "kg_nodes": _values_sql(ke.KG_NODES_COLUMNS, ke.KG_NODES_TYPES, ke.KG_NODES_ROWS),
+        "kg_edges": _values_sql(ke.KG_EDGES_COLUMNS, ke.KG_EDGES_TYPES, ke.KG_EDGES_ROWS),
+        "kg_connected_components": _values_sql(ke.KG_CC_COLUMNS, ke.KG_CC_TYPES, ke.KG_CC_ROWS),
+        "kg_fuzzy_link": _values_sql(ke.KG_FUZZY_COLUMNS, ke.KG_FUZZY_TYPES, ke.KG_FUZZY_ROWS),
+        "kg_star_graph": _values_sql(ke.KG_STAR_COLUMNS, ke.KG_STAR_TYPES, ke.KG_STAR_ROWS),
+        "kg_ontology_load": _values_sql(ke.KG_ONTOLOGY_COLUMNS, ke.KG_ONTOLOGY_TYPES, ke.KG_ONTOLOGY_ROWS),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_kg_oracles(),
         "w1_adjacency_next": """
             SELECT user_id, event_id,
                    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id

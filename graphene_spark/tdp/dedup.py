@@ -60,17 +60,25 @@ def word_shingles(col, n: int = 3):
 
 
 def _minhash_udf(num_hashes: int):
-    """Arrow-batched numpy MinHash: per shingle two stable crc32 hashes, the
-    K signatures via Carter-Wegman broadcasting (a + i*b).
+    """Arrow-batched numpy MinHash: one stable crc32 hash per shingle (31-bit
+    x), K signatures via universal hashing h_k(x) = (a_k*x + b_k) mod p with
+    per-index constants (p = 2^31-1; products stay under 2^62 in int64).
 
-    The pure-JVM variant (blocking.minhash_signature) evaluates interpreted
+    Per-index constants are load-bearing: the earlier shared-(a, b) linear
+    form a + k*b let one shingle with the smallest a AND b win every index,
+    perfectly correlating the K minhashes and collapsing LSH recall (see
+    blocking.minhash_signature).  The pure-JVM variant evaluates interpreted
     higher-order functions per element — measured ~20ms/doc at K=32 vs
     microseconds here; same lesson as extraction (Arrow-batched Python beats
     interpreted Catalyst expressions for per-token work)."""
     import numpy as np
     from zlib import crc32
 
-    ks = np.arange(num_hashes, dtype=np.int64)
+    from ..blocking import MERSENNE31, cw_constants
+
+    a_s, b_s = cw_constants(num_hashes)
+    a_v = np.array(a_s, dtype=np.int64)
+    b_v = np.array(b_s, dtype=np.int64)
 
     @F.pandas_udf("array<long>")
     def compute(shingles: pd.Series) -> pd.Series:
@@ -79,13 +87,14 @@ def _minhash_udf(num_hashes: int):
             if sh is None or len(sh) == 0:
                 out.append([0] * num_hashes)
                 continue
-            # b hashes the REVERSED string: crc32(s, seed1) and crc32(s, seed2)
-            # differ only by a length-dependent XOR (CRC linearity), which
-            # would correlate all K minhashes; reversing the input gives a
-            # genuinely different linear map per message.
-            a = np.fromiter((crc32(s.encode()) for s in sh), dtype=np.int64, count=len(sh))
-            b = np.fromiter((crc32(s[::-1].encode()) for s in sh), dtype=np.int64, count=len(sh))
-            out.append((a[:, None] + ks[None, :] * b[:, None]).min(axis=0).tolist())
+            x = np.fromiter(
+                (crc32(s.encode()) for s in sh), dtype=np.int64, count=len(sh)
+            ) & MERSENNE31
+            out.append(
+                ((x[:, None] * a_v[None, :] + b_v[None, :]) % MERSENNE31)
+                .min(axis=0)
+                .tolist()
+            )
         return pd.Series(out)
 
     return compute
