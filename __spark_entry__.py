@@ -461,6 +461,293 @@ def q_tdp_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# previously driver-invisible SURVEY §2 operators, each over testdata tables
+# with a DuckDB oracle (VERDICT.md round-1 item #2)
+# ---------------------------------------------------------------------------
+
+def q_p3_obsolete_filter(spark, sf_dir):
+    """P3 obsolete filter (OntologyLoader.groovy:24-27) through the real
+    docloaders.filter_obsolete: flag derived from doc_id, null = live."""
+    from graphene_spark import docloaders
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_obsolete",
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("boolean"))
+        .otherwise(F.col("doc_id") % 7 == 0),
+    )
+    return docloaders.filter_obsolete(d).select("doc_id", "source")
+
+
+def q_j4_taxon_fk(spark, sf_dir):
+    """J4 taxon FK join (GeneLoader.groovy:119-128) through docloaders.load_genes:
+    suppliers as genes, nations as the taxon dimension -> SPECIES edges."""
+    from graphene_spark import docloaders
+
+    genes = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("taxon_id"),
+        F.lit("m1").alias("map"),
+        (F.col("s_suppkey") % 10).cast("string").alias("region"),
+        F.col("s_suppkey").cast("int").alias("start"),
+        (F.col("s_suppkey") + 10).cast("int").alias("end"),
+    )
+    taxa = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("taxon_id"), F.col("n_name").alias("taxon_name")
+    )
+    out = docloaders.load_genes(genes, taxon_index=taxa)
+    return (
+        out["edge_candidates"]
+        .filter(F.col("rel_type") == "SPECIES")
+        .select("src_name", "rel_type", "dst_name")
+    )
+
+
+def q_j5_evidence_join(spark, sf_dir):
+    """J5 ontology evidence-qualified join (GeneLoader.groovy:84-117) through
+    docloaders.load_gene_ontology_xrefs: per-ontology xref map exploded twice,
+    evidence carried as an edge prop."""
+    from graphene_spark import docloaders
+
+    genes = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000).select(
+        F.col("o_orderkey").cast("string").alias("_id"),
+        F.create_map(
+            F.lit("GO"),
+            F.array(F.concat_ws(":", F.col("o_custkey"), F.col("o_orderstatus"))),
+        ).alias("xrefs"),
+    )
+    out = docloaders.load_gene_ontology_xrefs(genes)
+    return out.select(
+        "src_name",
+        "rel_type",
+        "dst_name",
+        F.element_at("props", "evidence").alias("evidence"),
+    )
+
+
+def q_s7_unique_nodes(spark, sf_dir):
+    """S7 uniqueness guarantee (Importer.groovy:57-82) through graph.build_nodes:
+    duplicate candidates per name collapse to ONE node with the label-set
+    union (A3) and last-writer-wins props (A2)."""
+    from graphene_spark import graph
+
+    cands = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("label"),
+        F.col("l_partkey").cast("string").alias("name"),
+        F.create_map(F.lit("qty"), F.col("l_quantity").cast("string")).alias("props"),
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).cast("long").alias("seq"),
+    )
+    nodes = graph.build_nodes(cands)
+    return nodes.select(
+        "name",
+        F.array_join("labels", ";").alias("labels"),
+        F.element_at("props", "qty").alias("last_qty"),
+    )
+
+
+def q_j8_reify(spark, sf_dir):
+    """J8 reification (post-import-cypher.txt:14) through postprocess.reify_pairs:
+    (a)-[:TO]->(b) backed by INPUT/OUTPUT via r with (r)-[:SPECIES]->(s)
+    creates a keyed To node + 4 edges; ids resolved to names for the oracle."""
+    from graphene_spark import postprocess
+
+    n = _t(spark, sf_dir, "nation")
+    inp = n.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey") + 100).cast("long").alias("dst"),
+        F.lit("INPUT").alias("rel_type"),
+    )
+    outp = n.select(
+        (F.col("n_regionkey") + 100).cast("long").alias("src"),
+        (F.col("n_regionkey") + 200).cast("long").alias("dst"),
+        F.lit("OUTPUT").alias("rel_type"),
+    ).distinct()
+    spec = n.select(
+        (F.col("n_regionkey") + 100).cast("long").alias("src"),
+        (F.col("n_regionkey") + 300).cast("long").alias("dst"),
+        F.lit("SPECIES").alias("rel_type"),
+    ).distinct()
+    edges = inp.unionByName(outp).unionByName(spec)
+    to_edges, _cnt = postprocess.two_hop_edges(edges, "INPUT", "OUTPUT", "TO")
+    to_nodes, out = postprocess.reify_pairs(to_edges, edges)
+    names = to_nodes.select("node_id", "name")
+    src_n = names.withColumnsRenamed({"node_id": "src", "name": "src_name"})
+    dst_n = names.withColumnsRenamed({"node_id": "dst", "name": "dst_name"})
+    return (
+        out.join(src_n, "src", "left")
+        .join(dst_n, "dst", "left")
+        .select(
+            F.coalesce("src_name", F.col("src").cast("string")).alias("src_name"),
+            "rel_type",
+            F.coalesce("dst_name", F.col("dst").cast("string")).alias("dst_name"),
+        )
+    )
+
+
+def q_j9_bounded_path(spark, sf_dir):
+    """J9 bounded variable-length path join (post-import-cypher.txt:16-17)
+    through postprocess.bounded_path_edges: customer->nation->region edge list,
+    union of 1..2-hop reachable pairs."""
+    from graphene_spark import postprocess
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    n = _t(spark, sf_dir, "nation")
+    cn = c.select(
+        (F.col("c_custkey") + 1000000).cast("long").alias("src"),
+        (F.col("c_nationkey") + 2000000).cast("long").alias("dst"),
+        F.lit("CN").alias("rel_type"),
+    )
+    nr = n.select(
+        (F.col("n_nationkey") + 2000000).cast("long").alias("src"),
+        (F.col("n_regionkey") + 3000000).cast("long").alias("dst"),
+        F.lit("NR").alias("rel_type"),
+    )
+    out, _cnt = postprocess.bounded_path_edges(
+        cn.unionByName(nr), ["CN", "NR"], max_hops=2, out_rel="REACH"
+    )
+    return out.select("src", "dst", "rel_type")
+
+
+def q_pp_edge_flip(spark, sf_dir):
+    """§2.8 edge-direction flip (post-import-cypher.txt:4) through
+    postprocess.flip_edges: REV edges stored backwards get normalized forward,
+    FWD edges pass through, result deduped (MERGE)."""
+    from graphene_spark import postprocess
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
+    rev = o.select(
+        F.col("o_orderkey").cast("long").alias("src"),
+        F.col("o_custkey").cast("long").alias("dst"),
+        F.lit("REV").alias("rel_type"),
+    )
+    fwd = o.select(
+        F.col("o_custkey").cast("long").alias("src"),
+        F.col("o_orderkey").cast("long").alias("dst"),
+        F.lit("FWD").alias("rel_type"),
+    )
+    return postprocess.flip_edges(rev.unionByName(fwd), "REV").select(
+        "src", "dst", "rel_type"
+    )
+
+
+# mini dump fixture for the S1/S3 source-reader queries (embedded, written to
+# a content-addressed temp path so repeated runs are idempotent)
+_DUMP_TEXT = """\
+CREATE TABLE `Thing` (
+  `DB_ID` int(10) unsigned NOT NULL,
+  `_displayName` text,
+  `val` varchar(64) DEFAULT NULL
+) ENGINE=MyISAM;
+
+INSERT INTO `Thing` VALUES (1,'Alpha','x'),(2,'Beta, the second','y'),(3,'Par),(en','z'),(4,'Delta',NULL);
+"""
+
+
+def _dump_path() -> str:
+    import hashlib
+    import tempfile
+
+    h = hashlib.md5(_DUMP_TEXT.encode()).hexdigest()[:12]
+    p = os.path.join(tempfile.gettempdir(), f"graphene_dump_{h}.sql")
+    if not os.path.exists(p):
+        tmp = p + ".tmp"
+        with open(tmp, "w", encoding="ISO-8859-1") as f:
+            f.write(_DUMP_TEXT)
+        os.replace(tmp, p)
+    return p
+
+
+def q_s1_dump_scan(spark, sf_dir):
+    """S1 MySQL-dump table scan (LoadMysqlDump.groovy:34-143) through the
+    distributed reader: text scan -> quote-aware tuple split -> from_csv."""
+    from graphene_spark.sources import mysqldump
+
+    return mysqldump.read_table(spark, _dump_path(), "Thing")
+
+
+def q_s3_column_defs(spark, sf_dir):
+    """S3 column-def extractor (LoadMysqlDump.groovy:287-299): DDL parse to
+    (table, column, ordinal)."""
+    from graphene_spark.sources import mysqldump
+
+    ddl = mysqldump.parse_ddl(_dump_path())
+    rows = [
+        (t, c, i) for t, cols in sorted(ddl.items()) for i, c in enumerate(cols)
+    ]
+    return spark.createDataFrame(rows, "table_name string, column_name string, ordinal int")
+
+
+def q_s5_merge_resume(spark, sf_dir):
+    """S5 idempotent MERGE sink (Importer.groovy:36-52 batch sink + A7 dedup):
+    merge the same edge batch TWICE into a fresh table; the second pass must
+    insert zero rows, and the read-back equals the distinct input."""
+    import tempfile
+
+    from graphene_spark import materialize
+
+    edges = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("src"),
+        F.col("o_orderstatus").alias("rel_type"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="graphene_merge_"), "edges")
+    n1 = materialize.merge_insert_absent(spark, edges, path, ["src", "rel_type"])
+    n2 = materialize.merge_insert_absent(spark, edges, path, ["src", "rel_type"])
+    assert n2 == 0, f"second merge inserted {n2} rows — not idempotent"
+    assert n1 > 0
+    return (
+        materialize.read_merged(spark, path)
+        .groupBy("rel_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_s6_postprocess_counters(spark, sf_dir):
+    """S6 post-load script phase (LoadGrameneGraphDb.groovy:56-69): the rewrite
+    sequence over materialized edges, each returning its count(*) regression
+    counter exactly like post-import-cypher.txt statements."""
+    from graphene_spark import postprocess
+
+    n = _t(spark, sf_dir, "nation")
+    inp = n.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey") + 100).cast("long").alias("dst"),
+        F.lit("INPUT").alias("rel_type"),
+    )
+    outp = n.select(
+        (F.col("n_regionkey") + 100).cast("long").alias("src"),
+        (F.col("n_regionkey") + 200).cast("long").alias("dst"),
+        F.lit("OUTPUT").alias("rel_type"),
+    ).distinct()
+    edges = inp.unionByName(outp)
+    to_edges, n_to = postprocess.two_hop_edges(edges, "INPUT", "OUTPUT", "TO")
+    reach, n_reach = postprocess.bounded_path_edges(
+        edges, ["INPUT", "OUTPUT"], max_hops=2, out_rel="REACH"
+    )
+    n_flip = postprocess.flip_edges(edges, "OUTPUT").count()
+    return spark.createDataFrame(
+        [("two_hop_to", n_to), ("bounded_reach", n_reach), ("after_flip", n_flip)],
+        "counter string, cnt long",
+    )
+
+
+def q_a5_classify_tables(spark, sf_dir):
+    """A5 table classification (ReactomeLoader.groovy:81-111): regex routing of
+    table names into special/newnodes/relationships/decorators."""
+    from graphene_spark import starloader
+
+    names = [
+        "DatabaseObject", "DataModel", "Ontology", "Pathway", "Reaction",
+        "Pathway_2_name", "ReferenceSequence_2_xref", "Event_2_input",
+        "Complex_2_hasComponent", "StableIdentifier", "Species_2_synonym",
+    ]
+    groups = starloader.classify_tables(names)
+    rows = sorted(
+        (t, cat) for cat, ts in groups.items() for t in ts
+    )
+    return spark.createDataFrame(rows, "table_name string, category string")
+
+
+# ---------------------------------------------------------------------------
 # KG-pipeline queries on deterministic synthetic transcripts.  Each has a
 # frozen VALUES oracle (graphene_spark/kg_expected.py) computed INDEPENDENTLY
 # by scripts/gen_kg_oracles.py: the single-process oracle walker + pure-Python
@@ -630,6 +917,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdp_langid_markers": q_tdp_langid_markers,
         "tdp_cosine_topk": q_tdp_cosine_topk,
         "tdp_fingerprint": q_tdp_fingerprint,
+        "p3_obsolete_filter": q_p3_obsolete_filter,
+        "j4_taxon_fk": q_j4_taxon_fk,
+        "j5_evidence_join": q_j5_evidence_join,
+        "s7_unique_nodes": q_s7_unique_nodes,
+        "j8_reify": q_j8_reify,
+        "j9_bounded_path": q_j9_bounded_path,
+        "pp_edge_flip": q_pp_edge_flip,
+        "s1_dump_scan": q_s1_dump_scan,
+        "s3_column_defs": q_s3_column_defs,
+        "s5_merge_resume": q_s5_merge_resume,
+        "s6_postprocess_counters": q_s6_postprocess_counters,
+        "a5_classify_tables": q_a5_classify_tables,
         "kg_triples": q_kg_triples,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
@@ -657,9 +956,8 @@ def _values_sql(columns: list[str], types: list[str], rows: list[tuple]) -> str:
             for v, t in zip(r, types)
         ]
         rendered.append("(" + ", ".join(vals) + ")")
-    return (
-        f"SELECT * FROM (VALUES {', '.join(rendered)}) AS t({', '.join(columns)})"
-    )
+    cols = ", ".join(f'"{c}"' for c in columns)
+    return f"SELECT * FROM (VALUES {', '.join(rendered)}) AS t({cols})"
 
 
 def _kg_oracles() -> dict[str, str]:
@@ -676,9 +974,112 @@ def _kg_oracles() -> dict[str, str]:
     }
 
 
+def _ops_oracles() -> dict[str, str]:
+    """Oracles for the round-2 operator queries (previously driver-invisible)."""
+    s1_values = _values_sql(
+        ["DB_ID", "_displayName", "val"],
+        ["VARCHAR", "VARCHAR", "VARCHAR"],
+        [("1", "Alpha", "x"), ("2", "Beta, the second", "y"),
+         ("3", "Par),(en", "z"), ("4", "Delta", None)],
+    )
+    s3_values = _values_sql(
+        ["table_name", "column_name", "ordinal"],
+        ["VARCHAR", "VARCHAR", "INTEGER"],
+        [("Thing", "DB_ID", 0), ("Thing", "_displayName", 1), ("Thing", "val", 2)],
+    )
+    a5_values = _values_sql(
+        ["table_name", "category"],
+        ["VARCHAR", "VARCHAR"],
+        [("Complex_2_hasComponent", "relationships"), ("DataModel", "special"),
+         ("DatabaseObject", "special"), ("Event_2_input", "relationships"),
+         ("Ontology", "special"), ("Pathway", "decorators"),
+         ("Pathway_2_name", "newnodes"), ("Reaction", "decorators"),
+         ("ReferenceSequence_2_xref", "newnodes"),
+         ("Species_2_synonym", "newnodes"), ("StableIdentifier", "decorators")],
+    )
+    return {
+        "p3_obsolete_filter": """
+            SELECT doc_id, source FROM documents
+            WHERE NOT coalesce(CASE WHEN doc_id % 11 = 0 THEN NULL
+                                    ELSE doc_id % 7 = 0 END, false)
+        """,
+        "j4_taxon_fk": """
+            SELECT s_name AS src_name, 'SPECIES' AS rel_type, n_name AS dst_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        """,
+        "j5_evidence_join": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS src_name,
+                   'GO' AS rel_type,
+                   'GO:' || o_custkey AS dst_name,
+                   o_orderstatus AS evidence
+            FROM orders WHERE o_orderkey <= 2000
+        """,
+        "s7_unique_nodes": """
+            WITH b AS (
+              SELECT CAST(l_partkey AS VARCHAR) AS name, l_returnflag AS label,
+                     CAST(l_quantity AS VARCHAR) AS qty,
+                     l_orderkey * 16 + l_linenumber AS seq
+              FROM lineitem)
+            SELECT name,
+                   array_to_string(list_sort(list(DISTINCT label)), ';') AS labels,
+                   max_by(qty, seq) AS last_qty
+            FROM b GROUP BY name
+        """,
+        "j8_reify": """
+            WITH t AS (
+              SELECT n_nationkey AS a, n_regionkey + 100 AS r,
+                     n_regionkey + 200 AS b, n_regionkey + 300 AS s,
+                     'To_' || n_nationkey || '_' || (n_regionkey + 200) AS nm
+              FROM nation)
+            SELECT CAST(a AS VARCHAR) AS src_name, 'VIA' AS rel_type, nm AS dst_name FROM t
+            UNION ALL SELECT nm, 'VIA', CAST(b AS VARCHAR) FROM t
+            UNION ALL SELECT nm, 'RXN', CAST(r AS VARCHAR) FROM t
+            UNION ALL SELECT nm, 'SPECIES', CAST(s AS VARCHAR) FROM t
+        """,
+        "j9_bounded_path": """
+            WITH hop1 AS (
+              SELECT CAST(c_custkey + 1000000 AS BIGINT) AS src,
+                     CAST(c_nationkey + 2000000 AS BIGINT) AS dst
+              FROM customer WHERE c_custkey <= 300
+              UNION
+              SELECT CAST(n_nationkey + 2000000 AS BIGINT),
+                     CAST(n_regionkey + 3000000 AS BIGINT)
+              FROM nation),
+            hop2 AS (SELECT a.src, b.dst FROM hop1 a JOIN hop1 b ON a.dst = b.src)
+            SELECT DISTINCT src, dst, 'REACH' AS rel_type
+            FROM (SELECT * FROM hop1 UNION SELECT * FROM hop2)
+            WHERE src <> dst
+        """,
+        "pp_edge_flip": """
+            SELECT DISTINCT * FROM (
+              SELECT CAST(o_custkey AS BIGINT) AS src,
+                     CAST(o_orderkey AS BIGINT) AS dst, 'REV' AS rel_type
+              FROM orders WHERE o_orderkey <= 4000
+              UNION ALL
+              SELECT CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT), 'FWD'
+              FROM orders WHERE o_orderkey <= 4000)
+        """,
+        "s1_dump_scan": s1_values,
+        "s3_column_defs": s3_values,
+        "s5_merge_resume": """
+            SELECT o_orderstatus AS rel_type, count(DISTINCT o_custkey) AS cnt
+            FROM orders GROUP BY 1
+        """,
+        "s6_postprocess_counters": """
+            WITH c AS (SELECT count(DISTINCT n_nationkey) AS nn,
+                              count(DISTINCT n_regionkey) AS nr FROM nation)
+            SELECT 'two_hop_to' AS counter, CAST(nn AS BIGINT) AS cnt FROM c
+            UNION ALL SELECT 'bounded_reach', CAST(2 * nn + nr AS BIGINT) FROM c
+            UNION ALL SELECT 'after_flip', CAST(nn + nr AS BIGINT) FROM c
+        """,
+        "a5_classify_tables": a5_values,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **_kg_oracles(),
+        **_ops_oracles(),
         "w1_adjacency_next": """
             SELECT user_id, event_id,
                    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_id

@@ -43,6 +43,12 @@ def _camel(col):
     return F.regexp_replace(F.initcap(F.regexp_replace(F.lower(col), "_", " ")), " ", "")
 
 
+def filter_obsolete(docs: DataFrame, flag_col: str = "is_obsolete") -> DataFrame:
+    """P3 (OntologyLoader.groovy:24-27): drop rows flagged obsolete; a missing
+    or null flag means live (the reference's truthiness check)."""
+    return docs.filter(~F.coalesce(F.col(flag_col), F.lit(False)))
+
+
 def load_ontology(docs: DataFrame, path: str) -> dict[str, DataFrame]:
     """One ontology collection -> nodes + edge candidates.
 
@@ -54,9 +60,7 @@ def load_ontology(docs: DataFrame, path: str) -> dict[str, DataFrame]:
 
     ``path`` is the ontology prefix (GO/PO/TO/...) — the primary label and
     the term-name namespace (``GO:123``)."""
-    live = docs.filter(~F.coalesce(F.col("is_obsolete"), F.lit(False))).filter(
-        F.col("_id").isNotNull()
-    )
+    live = filter_obsolete(docs).filter(F.col("_id").isNotNull())
     term_name = F.format_string("%s:%d", F.lit(path), F.col("_id"))
 
     rank = F.regexp_extract(F.coalesce(F.col("property_value"), F.lit("")), _RANK_RE, 1)
