@@ -443,6 +443,20 @@ def q_tdp_cosine_topk(spark, sf_dir):
     )
 
 
+def q_tdp_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs at threshold 0.7.  The oracle is the exact
+    all-pairs 3-word-shingle Jaccard — valid because the testdata's near-dup
+    pairs sit at j >= 0.93, where the 8x4-band LSH miss probability is ~1e-5
+    (and the run is deterministic, so local green == driver green)."""
+    from graphene_spark.session import ensure_shipped
+    from graphene_spark.tdp import dedup
+
+    ensure_shipped(spark)
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.minhash_duplicates(d, threshold=0.7)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_tdp_fingerprint(spark, sf_dir):
     """Winnowing fingerprint distribution: distinct fingerprints (md5-based
     variant so DuckDB can mirror: min md5 of word 4-grams)."""
@@ -917,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdp_langid_markers": q_tdp_langid_markers,
         "tdp_cosine_topk": q_tdp_cosine_topk,
         "tdp_fingerprint": q_tdp_fingerprint,
+        "tdp_minhash_dedup": q_tdp_minhash_dedup,
         "p3_obsolete_filter": q_p3_obsolete_filter,
         "j4_taxon_fk": q_j4_taxon_fk,
         "j5_evidence_join": q_j5_evidence_join,
@@ -1260,6 +1275,28 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
               FROM scored)
             SELECT * FROM ranked WHERE rank <= 5
+        """,
+        "tdp_minhash_dedup": """
+            -- exact all-pairs ground truth for the LSH query: 3-word-shingle
+            -- Jaccard >= 0.7 (shingle construction mirrors word_shingles:
+            -- lower, whitespace-collapse, distinct 3-gram join)
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                                                            i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS s
+              FROM w),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(a.s || b.s)) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.7
         """,
         "tdp_fingerprint": """
             WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)

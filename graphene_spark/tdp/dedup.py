@@ -109,20 +109,45 @@ def minhash_duplicates(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: (id_a, id_b, jaccard) with id_a < id_b.
 
-    shingle -> minhash -> band -> bucket self-join -> exact-Jaccard verify.
-    The self-join is on (band_idx, band_sig) so only near-dups collide."""
+    shingle -> minhash -> band -> capped bucket self-join on ids only ->
+    signature-agreement estimate filter -> exact-Jaccard verify via shingle
+    re-join on the surviving pairs.
+
+    Scale shape (the round-1 version carried full shingle arrays through the
+    band explode and self-join — ~bands x the corpus text through the
+    shuffle):
+
+    * the band shuffle carries (_id, band keys, _sig) — the 32-long signature
+      is ~256 B/row regardless of document size, so shuffle volume is
+      O(bands x ids), not O(bands x text);
+    * band buckets above ``max_bucket`` rows are dropped before the
+      self-join: a degenerate band value (boilerplate or near-empty docs all
+      sharing a signature slice) would otherwise go quadratic.  True
+      near-dup clusters larger than the cap still pair up through their
+      other, non-degenerate bands;
+    * candidate pairs are pre-filtered by the unbiased signature-agreement
+      Jaccard estimate at ``threshold - 0.2`` (generous margin: with K=32
+      hashes the estimate's std dev is <= 0.09), so the exact verify touches
+      only plausible pairs;
+    * the exact verify re-joins shingles BY ID on the surviving pair set —
+      at scale that pair set is tiny relative to the corpus, so the join is
+      a broadcast/AQE-small join against a narrow recomputed shingle
+      projection instead of a corpus-wide shuffle.
+    """
     rows = num_hashes // bands
     docs = _ensure_parallelism(docs)
-    sig = docs.select(
+    shingles = docs.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), ngram_words).alias("_sh"),
-    ).withColumn("_sig", _minhash_udf(num_hashes)(F.col("_sh")))
+    )
+    sig = shingles.select("_id", _minhash_udf(num_hashes)(F.col("_sh")).alias("_sig"))
     banded = sig.select(
         "_id",
-        "_sh",
+        "_sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -132,16 +157,28 @@ def minhash_duplicates(
                 ),
             )
         ).alias("_b"),
-    ).select("_id", "_sh", "_b.band_idx", "_b.band_sig")
-    l = banded.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"})
-    r = banded.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"})
+    ).select("_id", "_sig", "_b.band_idx", "_b.band_sig")
+    # hot-bucket cap: one window count on the band key, then prune
+    bucket_n = F.count("*").over(Window.partitionBy("band_idx", "band_sig"))
+    banded = banded.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket).drop("_n")
+    l = banded.withColumnsRenamed({"_id": "id_a", "_sig": "sig_a"})
+    r = banded.withColumnsRenamed({"_id": "id_b", "_sig": "sig_b"})
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ) / F.lit(num_hashes)
     pairs = (
         l.join(r, ["band_idx", "band_sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .filter(est >= threshold - 0.2)
+        .select("id_a", "id_b")
     )
+    sh_a = shingles.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"})
+    sh_b = shingles.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"})
     return (
-        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
