@@ -457,6 +457,58 @@ def q_tdp_minhash_dedup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_tdp_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup pairs on a fixed inline fixture; the oracle is an
+    exhaustive pure-Python simhash ground truth (kg_expected) — valid because
+    4x16-bit band blocking is LOSSLESS for hamming <= 3 (pigeonhole)."""
+    from graphene_spark import kg_expected as ke
+    from graphene_spark.session import ensure_shipped
+    from graphene_spark.tdp import dedup
+
+    ensure_shipped(spark)
+    docs = spark.createDataFrame(ke.TDP_SIMHASH_DOCS_ROWS, "doc_id long, text string")
+    out = dedup.simhash_duplicates(docs, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def q_tdp_ngram_jaccard(spark, sf_dir):
+    """Character-4-gram Jaccard near-dup pairs with prefix blocking — the
+    brute-force dedup baseline, fully SQL-mirrorable."""
+    from graphene_spark.tdp import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(d, threshold=0.6)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_tdp_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup via hyperplane LSH on an inline vector
+    fixture.  Scaled copies share every sign bit (identical direction), so
+    bucketing is lossless here and the all-pairs SQL oracle is exact."""
+    from graphene_spark.session import ensure_shipped
+    from graphene_spark.tdp import dedup
+
+    ensure_shipped(spark)
+    emb = spark.createDataFrame(
+        _EMB_FIXTURE, "vec_id long, embedding array<double>"
+    )
+    out = dedup.embedding_near_duplicates(emb, threshold=0.95)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# deterministic embedding fixture: three direction-groups; members of a group
+# are exact scalar multiples (cosine 1.0), across groups well below threshold
+_EMB_FIXTURE = [
+    (0, [1.0, 2.0, -1.0, 0.5]),
+    (1, [2.0, 4.0, -2.0, 1.0]),      # 2x of 0
+    (2, [0.5, 1.0, -0.5, 0.25]),     # 0.5x of 0
+    (3, [-1.0, 1.0, 2.0, 0.0]),
+    (4, [-3.0, 3.0, 6.0, 0.0]),      # 3x of 3
+    (5, [4.0, -1.0, 0.0, 2.0]),
+    (6, [0.0, 0.0, 1.0, 0.0]),
+]
+
+
 def q_tdp_fingerprint(spark, sf_dir):
     """Winnowing fingerprint distribution: distinct fingerprints (md5-based
     variant so DuckDB can mirror: min md5 of word 4-grams)."""
@@ -932,6 +984,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdp_cosine_topk": q_tdp_cosine_topk,
         "tdp_fingerprint": q_tdp_fingerprint,
         "tdp_minhash_dedup": q_tdp_minhash_dedup,
+        "tdp_simhash_dedup": q_tdp_simhash_dedup,
+        "tdp_ngram_jaccard": q_tdp_ngram_jaccard,
+        "tdp_embedding_dedup": q_tdp_embedding_dedup,
         "p3_obsolete_filter": q_p3_obsolete_filter,
         "j4_taxon_fk": q_j4_taxon_fk,
         "j5_evidence_join": q_j5_evidence_join,
@@ -991,6 +1046,11 @@ def _kg_oracles() -> dict[str, str]:
 
 def _ops_oracles() -> dict[str, str]:
     """Oracles for the round-2 operator queries (previously driver-invisible)."""
+    from graphene_spark import kg_expected as ke
+
+    emb_values = ", ".join(
+        f"({i}, {vec!r})".replace("'", "") for i, vec in _EMB_FIXTURE
+    )
     s1_values = _values_sql(
         ["DB_ID", "_displayName", "val"],
         ["VARCHAR", "VARCHAR", "VARCHAR"],
@@ -1073,6 +1133,35 @@ def _ops_oracles() -> dict[str, str]:
               UNION ALL
               SELECT CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT), 'FWD'
               FROM orders WHERE o_orderkey <= 4000)
+        """,
+        "tdp_simhash_dedup": _values_sql(
+            ke.TDP_SIMHASH_COLUMNS, ke.TDP_SIMHASH_TYPES, ke.TDP_SIMHASH_ROWS
+        ),
+        "tdp_ngram_jaccard": """
+            WITH base AS (
+              SELECT doc_id, lower(text) AS s,
+                     substring(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 8) AS blk
+              FROM documents),
+            sh AS (
+              SELECT doc_id, blk,
+                     CASE WHEN len(s) <= 4 THEN [s]
+                          ELSE list_distinct(list_transform(range(1, len(s) - 2), i -> s[i:i+3]))
+                     END AS g
+              FROM base),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.g, b.g))::DOUBLE
+                       / len(list_distinct(a.g || b.g)) AS j
+              FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.6
+        """,
+        "tdp_embedding_dedup": f"""
+            WITH v(id, vec) AS (VALUES {emb_values}),
+            p AS (
+              SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+                     list_cosine_similarity(a.vec, b.vec) AS c
+              FROM v a JOIN v b ON a.id < b.id)
+            SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.95
         """,
         "s1_dump_scan": s1_values,
         "s3_column_defs": s3_values,

@@ -345,45 +345,26 @@ def embedding_near_duplicates(
     """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing.
 
     Bucket = sign bits of dot(v, random plane) for n_planes seeded planes
-    (deterministic: plane components are hash-derived).  Verify cosine within
-    buckets.  Scale path: near-identical vectors share all sign bits with
-    high probability, so the self-join is bucket-local."""
-    embeddings = _ensure_parallelism(embeddings)
-    dim = F.size(F.col(vec_col))
-    # deterministic pseudo-random plane component p[j][k] from xxhash64(seed, j, k)
-    def plane_dot(j):
-        return F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), dim - 1),
-                lambda v, k: v
-                * (
-                    (F.xxhash64(F.lit(seed), F.lit(j), k) % 1000).cast("double") / 1000.0
-                    - 0.5
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    (deterministic Philox-seeded planes); verify cosine within buckets.
+    Both the bucket signature and the verify cosine run as Arrow-batched
+    numpy kernels (the round-1 interpreted-HOF plane dots were ~1000x slower
+    per vector — tdp/similarity.py docstring).  Scale path: near-identical
+    vectors share all sign bits with high probability, so the self-join is
+    bucket-local."""
+    from .similarity import bucket_sig_arrow, cosine_arrow
 
-    sig = F.concat_ws(
-        "",
-        *[F.when(plane_dot(j) >= 0, "1").otherwise("0") for j in range(n_planes)],
-    )
-    norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda v: v * v), F.lit(0.0), lambda a, x: a + x))
+    embeddings = _ensure_parallelism(embeddings)
     base = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        norm.alias("_n"),
-        sig.alias("_bucket"),
+        bucket_sig_arrow(F.col(vec_col), n_planes, seed).alias("_bucket"),
     )
-    l = base.withColumnsRenamed({"_id": "id_a", "_v": "v_a", "_n": "n_a"})
-    r = base.withColumnsRenamed({"_id": "id_b", "_v": "v_b", "_n": "n_b"})
-    dot = F.aggregate(F.zip_with("v_a", "v_b", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    l = base.withColumnsRenamed({"_id": "id_a", "_v": "v_a"})
+    r = base.withColumnsRenamed({"_id": "id_b", "_v": "v_b"})
     return (
         l.join(r, "_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .withColumn("cosine", cosine_arrow(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -168,6 +168,76 @@ def kg_fuzzy_rows() -> list[tuple]:
 
 
 # ---------------------------------------------------------------------------
+# SimHash dedup — pure-Python ground truth over an inline doc fixture
+# ---------------------------------------------------------------------------
+
+# Mirrors the q_tdp_simhash_dedup fixture in __spark_entry__.py exactly.
+SIMHASH_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend today"),
+    (3, "a completely different sentence about spark dataframes and shuffles"),
+    (4, "a completely different sentence about spark dataframes and shuffles"),
+    (5, "unrelated text mentioning minhash lsh bands and jaccard verification"),
+    (6, "the quick brown fox leaps over the lazy dog near the river bank today"),
+    (7, "short text"),
+    (8, "short text"),
+]
+SIMHASH_MAX_HAMMING = 3
+
+
+def _norm_words(text: str) -> list[str]:
+    import re as _re
+
+    return _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+
+
+def _word_shingles_py(text: str, n: int) -> list[str]:
+    """Mirror of tdp.dedup.word_shingles: <=n words -> whole text, else
+    distinct n-gram joins (order-preserving distinct like array_distinct)."""
+    w = _norm_words(text)
+    if len(w) <= n:
+        grams = [" ".join(w)]
+    else:
+        grams = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+    return list(dict.fromkeys(grams))
+
+
+def _simhash_py(text: str) -> int:
+    """Pure-Python mirror of the 64-bit SimHash spec (crc32 pair per 2-gram
+    shingle, per-bit majority vote) — independent of the Spark/numpy code."""
+    from zlib import crc32
+
+    sh = _word_shingles_py(text, 2)
+    votes = [0] * 64
+    for s in sh:
+        h = (crc32(s.encode()) << 32) | crc32(s[::-1].encode())
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(64):
+        if votes[b] > 0:
+            sig |= 1 << b
+    # interpret as signed int64 (Spark long)
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+
+def tdp_simhash_rows() -> list[tuple]:
+    """All pairs within hamming <= 3.  The 4x16-bit band blocking is lossless
+    for this filter (pigeonhole: hamming <= 3 over 4 bands forces an exact
+    band match), so LSH output == this exhaustive ground truth."""
+    sigs = {i: _simhash_py(t) for i, t in SIMHASH_DOCS}
+    out = []
+    for i, a in sorted(sigs.items()):
+        for j, b in sorted(sigs.items()):
+            if i < j:
+                ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+                if ham <= SIMHASH_MAX_HAMMING:
+                    out.append((i, j, ham))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # star-schema + ontology micro-fixtures — hand-derivable constants
 # ---------------------------------------------------------------------------
 
@@ -223,7 +293,17 @@ def main() -> None:
             ["VARCHAR", "VARCHAR", "VARCHAR"],
             KG_ONTOLOGY_ROWS,
         ),
+        "TDP_SIMHASH": (
+            ["id_a", "id_b", "hamming"],
+            ["BIGINT", "BIGINT", "INTEGER"],
+            tdp_simhash_rows(),
+        ),
     }
+    sections["TDP_SIMHASH_DOCS"] = (
+        ["doc_id", "text"],
+        ["BIGINT", "VARCHAR"],
+        SIMHASH_DOCS,
+    )
     lines = [
         '"""Frozen expected answers for the kg_* driver-contract queries.',
         "",
