@@ -796,6 +796,68 @@ def q_s6_postprocess_counters(spark, sf_dir):
     )
 
 
+def q_pp_absorb_prop(spark, sf_dir):
+    """§2.8 property-absorb rewrite (import-cypher.txt:26): xref value nodes
+    absorbed into an 'xref' prop on their source, then deleted."""
+    from graphene_spark import postprocess
+
+    n = _t(spark, sf_dir, "nation")
+    nodes = n.select(
+        F.col("n_nationkey").cast("long").alias("node_id"),
+        F.col("n_name").alias("name"),
+        F.array(F.lit("Taxon")).alias("labels"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    ).unionByName(
+        n.select(
+            (F.col("n_regionkey") + 100).cast("long").alias("node_id"),
+            F.concat_ws("", F.lit("XR"), F.col("n_regionkey")).alias("name"),
+            F.array(F.lit("XRef")).alias("labels"),
+            F.create_map().cast("map<string,string>").alias("props"),
+        ).dropDuplicates(["node_id"])
+    )
+    edges = n.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey") + 100).cast("long").alias("dst"),
+        F.lit("XREF").alias("rel_type"),
+    )
+    nodes2, _edges2, _cnt = postprocess.absorb_node_as_prop(nodes, edges, "XREF", "xref")
+    return nodes2.select("name", F.element_at("props", "xref").alias("xref"))
+
+
+def q_pp_collapse_regulation(spark, sf_dir):
+    """§2.8 de-reification (import-cypher.txt:24): Regulation mid nodes become
+    REGULATES edges carrying the mid's first label as regulationType."""
+    from graphene_spark import postprocess
+
+    n = _t(spark, sf_dir, "nation")
+    reg_label = F.when(
+        F.col("n_nationkey") % 2 == 0, F.lit("PositiveRegulation")
+    ).otherwise(F.lit("NegativeRegulation"))
+    nodes = n.select(
+        (F.col("n_nationkey") + 1000).cast("long").alias("node_id"),
+        F.concat_ws("", F.lit("reg"), F.col("n_nationkey")).alias("name"),
+        F.array(reg_label, F.lit("Regulation")).alias("labels"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    edges = n.select(
+        (F.col("n_nationkey") + 1000).cast("long").alias("src"),
+        F.col("n_nationkey").cast("long").alias("dst"),
+        F.lit("REGULATOR").alias("rel_type"),
+    ).unionByName(
+        n.select(
+            (F.col("n_nationkey") + 1000).cast("long").alias("src"),
+            (F.col("n_regionkey") + 200).cast("long").alias("dst"),
+            F.lit("REGULATED").alias("rel_type"),
+        )
+    )
+    _nodes2, edges2, _cnt = postprocess.collapse_node_to_edge(
+        nodes, edges, "REGULATOR", "REGULATED", "REGULATES"
+    )
+    return edges2.select(
+        "src", "dst", "rel_type", F.element_at("props", "regulationType").alias("regulation_type")
+    )
+
+
 def q_a5_classify_tables(spark, sf_dir):
     """A5 table classification (ReactomeLoader.groovy:81-111): regex routing of
     table names into special/newnodes/relationships/decorators."""
@@ -926,6 +988,36 @@ def q_kg_ontology_load(spark, sf_dir):
     return out["edge_candidates"].select("src_name", "rel_type", "dst_name")
 
 
+def q_kg_taxonomy_load(spark, sf_dir):
+    """Taxonomy loader (NCBITaxonLoader.groovy:16-50): first-is_a SUPER_TAXON,
+    ALT_ID fan-out with dangling drop, synonym side-emit."""
+    from graphene_spark import docloaders
+
+    docs = spark.createDataFrame(
+        [(1, "root", "no rank", None, None, None),
+         (2, "Plantae", "kingdom", [1], None, ["green plants"]),
+         (3, "Zea", "genus", [2, 1], [99, 1], None)],
+        "_id long, name string, rank string, is_a array<long>, "
+        "alt_id array<long>, synonym array<string>",
+    )
+    out = docloaders.load_taxonomy(docs)
+    return out["edge_candidates"].select("src_name", "rel_type", "dst_name")
+
+
+def q_kg_domain_load(spark, sf_dir):
+    """Domain loader (DomainLoader.groovy:18-48): InterProSignature value
+    nodes + CONTRIBUTES_TO edges from descriptor maps."""
+    from graphene_spark import docloaders
+
+    docs = spark.createDataFrame(
+        [(1, "IPR000001", "Family", {"pfam": ["PF00001", "PF00002"], "prosite": ["PS0001"]}),
+         (2, "IPR000002", "Domain", {"pfam": ["PF00001"]})],
+        "_id long, name string, type string, descriptors map<string, array<string>>",
+    )
+    out = docloaders.load_domains(docs)
+    return out["edge_candidates"].select("src_name", "rel_type", "dst_name")
+
+
 def q_kg_fuzzy_link(spark, sf_dir):
     """LSH second-chance linking of deliberately corrupted mentions.  32
     one-row bands give exhaustive recall at threshold 0.4, so the output must
@@ -994,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_reify": q_j8_reify,
         "j9_bounded_path": q_j9_bounded_path,
         "pp_edge_flip": q_pp_edge_flip,
+        "pp_absorb_prop": q_pp_absorb_prop,
+        "pp_collapse_regulation": q_pp_collapse_regulation,
         "s1_dump_scan": q_s1_dump_scan,
         "s3_column_defs": q_s3_column_defs,
         "s5_merge_resume": q_s5_merge_resume,
@@ -1006,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fuzzy_link": q_kg_fuzzy_link,
         "kg_star_graph": q_kg_star_graph,
         "kg_ontology_load": q_kg_ontology_load,
+        "kg_taxonomy_load": q_kg_taxonomy_load,
+        "kg_domain_load": q_kg_domain_load,
     }
 
 
@@ -1163,6 +1259,33 @@ def _ops_oracles() -> dict[str, str]:
               FROM v a JOIN v b ON a.id < b.id)
             SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.95
         """,
+        "pp_absorb_prop": """
+            SELECT n_name AS name, 'XR' || n_regionkey AS xref FROM nation
+        """,
+        "pp_collapse_regulation": """
+            SELECT CAST(n_nationkey AS BIGINT) AS src,
+                   CAST(n_regionkey + 200 AS BIGINT) AS dst,
+                   'REGULATES' AS rel_type,
+                   CASE WHEN n_nationkey % 2 = 0 THEN 'PositiveRegulation'
+                        ELSE 'NegativeRegulation' END AS regulation_type
+            FROM nation
+        """,
+        "kg_taxonomy_load": _values_sql(
+            ["src_name", "rel_type", "dst_name"],
+            ["VARCHAR", "VARCHAR", "VARCHAR"],
+            [("Plantae", "SUPER_TAXON", "root"),
+             ("Zea", "SUPER_TAXON", "Plantae"),   # first is_a only
+             ("Zea", "ALT_ID", "root"),           # alt 99 dangles and is dropped
+             ("Plantae", "SYNONYM", "green plants")],
+        ),
+        "kg_domain_load": _values_sql(
+            ["src_name", "rel_type", "dst_name"],
+            ["VARCHAR", "VARCHAR", "VARCHAR"],
+            [("PF00001", "CONTRIBUTES_TO", "IPR000001"),
+             ("PF00002", "CONTRIBUTES_TO", "IPR000001"),
+             ("PS0001", "CONTRIBUTES_TO", "IPR000001"),
+             ("PF00001", "CONTRIBUTES_TO", "IPR000002")],
+        ),
         "s1_dump_scan": s1_values,
         "s3_column_defs": s3_values,
         "s5_merge_resume": """

@@ -204,6 +204,163 @@ def load_genes(genes: DataFrame, taxon_index: DataFrame | None = None) -> dict[s
     }
 
 
+def load_taxonomy(docs: DataFrame) -> dict[str, DataFrame]:
+    """Taxonomy collection -> taxon nodes + SUPER_TAXON/ALT_ID/SYNONYM edges.
+
+    Mirrors NCBITaxonLoader.groovy:16-50:
+      * labels = [Taxon, <rank>, NCBITaxonomy] (rank label comes straight
+        from the doc, :19);
+      * parent = the FIRST is_a entry (parentTaxonId, :41-50) ->
+        SUPER_TAXON edge (:28);
+      * every alt_id fans out to an ALT_ID edge (:31-35);
+      * synonyms become Name nodes + SYNONYM edges (createSynonyms in
+        GrameneMongoLoader).
+    Parent/alt references are resolved AFTER all nodes exist via a self-join
+    on _id (the reference defers them through linkToExternal and drops
+    unresolved ones with a count, Loader.groovy:45-47) — unresolved rows are
+    returned as ``dangling`` for the metrics table, never an error.
+
+    docs: _id long, name string, rank string, is_a array<long>,
+          alt_id array<long>, synonym array<string>
+    """
+    live = docs.filter(F.col("_id").isNotNull())
+    nodes = live.select(
+        F.col("name"),
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.array(F.lit("Taxon"), _camel(F.coalesce("rank", F.lit(""))), F.lit("NCBITaxonomy")),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("labels"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(F.lit("name"), F.lit("rank")),
+                F.array(F.col("name"), F.col("rank")),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("props"),
+    )
+    ids = live.select(F.col("_id").alias("_tid"), F.col("name").alias("_tname"))
+
+    parent_refs = live.select(
+        F.col("name").alias("src_name"),
+        # try_element_at: ANSI mode makes element_at throw on empty arrays
+        F.try_element_at(F.coalesce("is_a", F.array().cast("array<long>")), F.lit(1)).alias("_tid"),
+        F.lit("SUPER_TAXON").alias("rel_type"),
+    ).filter(F.col("_tid").isNotNull())
+    alt_refs = live.select(
+        F.col("name").alias("src_name"),
+        F.explode(F.coalesce("alt_id", F.array().cast("array<long>"))).alias("_tid"),
+        F.lit("ALT_ID").alias("rel_type"),
+    )
+    refs = parent_refs.unionByName(alt_refs)
+    resolved = refs.join(F.broadcast(ids), "_tid").select(
+        "src_name", F.col("_tname").alias("dst_name"), "rel_type"
+    )
+    dangling = refs.join(F.broadcast(ids), "_tid", "left_anti").select(
+        "src_name", F.col("_tid").cast("string").alias("dst_name"), "rel_type"
+    )
+
+    synonyms = (
+        live.select(
+            F.col("name").alias("src_name"),
+            F.explode(F.coalesce("synonym", F.array().cast("array<string>"))).alias("syn"),
+        )
+        .filter(F.col("syn").isNotNull() & (F.col("syn") != ""))
+        .select("src_name", F.col("syn").alias("dst_name"), F.lit("SYNONYM").alias("rel_type"))
+    )
+    name_nodes = synonyms.select(
+        F.col("dst_name").alias("name"),
+        F.array(F.lit("Name")).alias("labels"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["name"])
+
+    return {
+        "nodes": nodes.unionByName(name_nodes).dropDuplicates(["name"]),
+        "edge_candidates": resolved.unionByName(synonyms).withColumn(
+            "props", F.create_map().cast("map<string,string>")
+        ),
+        "dangling": dangling,
+    }
+
+
+def load_domains(docs: DataFrame) -> dict[str, DataFrame]:
+    """Domains collection -> InterPro nodes, InterProSignature value nodes,
+    CONTRIBUTES_TO edges, and the signature-type suppression set.
+
+    Mirrors DomainLoader.groovy:18-48:
+      * fixed NODE_PROP_KEYS stay on the InterPro node (labels
+        [InterPro, <type>], :30);
+      * every other key is a signature descriptor: each value becomes an
+        InterProSignature node labelled with the descriptor key, plus a
+        CONTRIBUTES_TO edge signature -> InterPro (:32-42);
+      * the lowercased descriptor keys accumulate into ``signature_types``
+        (:24) — the suppression set GeneLoader consumes (J11, :158-160 via
+        isInterProSignature), exposed here as a 1-column DataFrame to
+        broadcast into suppress_signature_features().
+
+    docs: _id long, name string, type string,
+          descriptors map<string, array<string>>
+    """
+    live = docs.filter(F.col("_id").isNotNull())
+    interpro_nodes = live.select(
+        F.col("name"),
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    F.array(F.lit("InterPro"), F.coalesce("type", F.lit(""))),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("labels"),
+        F.map_filter(
+            F.map_from_arrays(
+                F.array(F.lit("name"), F.lit("type")),
+                F.array(F.col("name"), F.col("type")),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("props"),
+    )
+    desc = (
+        live.select(
+            F.col("name").alias("ipr_name"),
+            F.explode(F.coalesce("descriptors", F.create_map().cast("map<string,array<string>>"))).alias("dkey", "vals"),
+        )
+        .select("ipr_name", "dkey", F.explode("vals").alias("dname"))
+        .filter(F.col("dname").isNotNull() & (F.col("dname") != ""))
+    )
+    sig_nodes = desc.select(
+        F.col("dname").alias("name"),
+        F.array_sort(F.array(F.lit("InterProSignature"), F.col("dkey"))).alias("labels"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    ).dropDuplicates(["name"])
+    edges = desc.select(
+        F.col("dname").alias("src_name"),
+        F.col("ipr_name").alias("dst_name"),
+        F.lit("CONTRIBUTES_TO").alias("rel_type"),
+        F.create_map().cast("map<string,string>").alias("props"),
+    )
+    signature_types = desc.select(F.lower("dkey").alias("sig_type")).distinct()
+    return {
+        "nodes": interpro_nodes.unionByName(sig_nodes).dropDuplicates(["name"]),
+        "edge_candidates": edges,
+        "signature_types": signature_types,
+    }
+
+
+def suppress_signature_features(
+    features: DataFrame, signature_types: DataFrame, name_col: str = "feature_type"
+) -> DataFrame:
+    """J11 left-anti suppression (GeneLoader.groovy:158-160): drop protein
+    features whose type is already known as an InterPro signature type."""
+    sig = signature_types.select(F.col("sig_type").alias("_sig"))
+    return features.join(
+        F.broadcast(sig), F.lower(F.col(name_col)) == F.col("_sig"), "left_anti"
+    )
+
+
 def load_gene_ontology_xrefs(
     genes: DataFrame,
     evidence_col: str = "xrefs",

@@ -185,6 +185,112 @@ def bounded_path_edges(
     return out, out.count()
 
 
+def absorb_node_as_prop(
+    nodes: DataFrame,
+    edges: DataFrame,
+    rel_type: str,
+    prop_name: str,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Property-absorb rewrite (import-cypher.txt:26, Taxon_2_crossReference):
+    ``(n)-[:REL]->(m) set n.<prop> = m.name delete m`` — the target node is
+    absorbed into a property on its source, then deleted along with the edge.
+
+    When several m exist for one n the Cypher's repeated ``set`` is
+    last-write-nondeterministic; here the minimum name wins (deterministic,
+    order-free).  Any OTHER edges touching a deleted m are dropped too (the
+    set-semantics reading of ``delete m``); their count is the caller's
+    dangling metric.  Returns (nodes', edges', n_absorbed)."""
+    rel = edges.filter(F.col("rel_type") == rel_type)
+    names = nodes.select(F.col("node_id").alias("dst"), F.col("name").alias("_mname"))
+    absorbed = (
+        rel.join(names, "dst")
+        .groupBy("src")
+        .agg(F.min("_mname").alias("_val"))
+        .select(F.col("src").alias("node_id"), "_val")
+    )
+    deleted = rel.select(F.col("dst").alias("node_id")).distinct()
+    new_nodes = (
+        nodes.join(F.broadcast(deleted), "node_id", "left_anti")
+        .join(F.broadcast(absorbed), "node_id", "left")
+        .withColumn(
+            "props",
+            F.when(
+                F.col("_val").isNotNull(),
+                F.map_concat(
+                    F.map_filter(F.col("props"), lambda k, _: k != prop_name),
+                    F.map_from_arrays(F.array(F.lit(prop_name)), F.array(F.col("_val"))),
+                ),
+            ).otherwise(F.col("props")),
+        )
+        .drop("_val")
+    )
+    del_ids = deleted.select(F.col("node_id").alias("_d"))
+    new_edges = (
+        edges.filter(F.col("rel_type") != rel_type)
+        .join(F.broadcast(del_ids), F.col("src") == F.col("_d"), "left_anti")
+        .join(F.broadcast(del_ids), F.col("dst") == F.col("_d"), "left_anti")
+    )
+    return new_nodes, new_edges, absorbed.count()
+
+
+def collapse_node_to_edge(
+    nodes: DataFrame,
+    edges: DataFrame,
+    sub_rel: str,
+    obj_rel: str,
+    out_rel: str,
+    prop_name: str = "regulationType",
+) -> tuple[DataFrame, DataFrame, int]:
+    """De-reification (import-cypher.txt:24, Regulation): a mid node with
+    ``(mid)-[:SUB]->(sub)`` and ``(mid)-[:OBJ]->(obj)`` collapses into one
+    ``(sub)-[:OUT {prop: labels(mid)[0]}]->(obj)`` edge; mid (and its two
+    edges) are deleted.  ``create unique`` = dedup on (sub, out_rel, obj).
+
+    Returns (nodes', edges', n_collapsed)."""
+    subs = edges.filter(F.col("rel_type") == sub_rel).select(
+        F.col("src").alias("mid"), F.col("dst").alias("sub")
+    )
+    objs = edges.filter(F.col("rel_type") == obj_rel).select(
+        F.col("src").alias("mid"), F.col("dst").alias("obj")
+    )
+    mid_label = nodes.select(
+        F.col("node_id").alias("mid"),
+        F.try_element_at("labels", F.lit(1)).alias("_lbl"),
+    )
+    collapsed = (
+        subs.join(objs, "mid")
+        .join(F.broadcast(mid_label), "mid")
+        .select("sub", "obj", "_lbl", "mid")
+    )
+    new_edges_rows = (
+        collapsed.select(
+            F.col("sub").alias("src"),
+            F.col("obj").alias("dst"),
+            F.lit(out_rel).alias("rel_type"),
+            F.map_from_arrays(
+                F.array(F.lit(prop_name)), F.array(F.coalesce("_lbl", F.lit("")))
+            ).alias("props"),
+        )
+        .dropDuplicates(["src", "rel_type", "dst"])
+    )
+    mids = collapsed.select(F.col("mid").alias("node_id")).distinct()
+    new_nodes = nodes.join(F.broadcast(mids), "node_id", "left_anti")
+    mid_ids = mids.select(F.col("node_id").alias("_d"))
+    keep_edges = (
+        edges.filter(~F.col("rel_type").isin([sub_rel, obj_rel]))
+        .join(F.broadcast(mid_ids), F.col("src") == F.col("_d"), "left_anti")
+        .join(F.broadcast(mid_ids), F.col("dst") == F.col("_d"), "left_anti")
+    )
+    if "props" not in keep_edges.columns:
+        keep_edges = keep_edges.withColumn(
+            "props", F.create_map().cast("map<string,string>")
+        )
+    new_edges = keep_edges.select("src", "dst", "rel_type", "props").unionByName(
+        new_edges_rows.select("src", "dst", "rel_type", "props")
+    )
+    return new_nodes, new_edges, new_edges_rows.count()
+
+
 def bridge_by_name(
     nodes_a: DataFrame,
     nodes_b: DataFrame,

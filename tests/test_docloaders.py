@@ -93,3 +93,57 @@ def test_gene_ontology_evidence_join(spark, gene_docs):
     r = rows[0]
     assert (r["src_name"], r["rel_type"], r["dst_name"]) == ("g1", "GO", "GO:1")
     assert r["props"]["evidence"] == "IEA"
+
+
+def test_load_taxonomy(spark):
+    docs = spark.createDataFrame(
+        [(1, "root", "no rank", None, None, None),
+         (2, "Plantae", "kingdom", [1], None, ["green plants"]),
+         (3, "Zea", "genus", [2, 1], [99, 1], None)],
+        "_id long, name string, rank string, is_a array<long>, "
+        "alt_id array<long>, synonym array<string>",
+    )
+    out = docloaders.load_taxonomy(docs)
+    nodes = {r["name"]: r for r in out["nodes"].collect()}
+    # labels = [Taxon, <rank camel>, NCBITaxonomy] sorted (NCBITaxonLoader.groovy:19)
+    assert nodes["Zea"]["labels"] == ["Genus", "NCBITaxonomy", "Taxon"]
+    assert nodes["root"]["labels"] == ["NCBITaxonomy", "NoRank", "Taxon"]
+    assert nodes["green plants"]["labels"] == ["Name"]  # synonym Name node
+    edges = {(r["src_name"], r["rel_type"], r["dst_name"])
+             for r in out["edge_candidates"].collect()}
+    # parent = FIRST is_a entry only (parentTaxonId, :41-50)
+    assert ("Zea", "SUPER_TAXON", "Plantae") in edges
+    assert ("Zea", "SUPER_TAXON", "root") not in edges
+    assert ("Plantae", "SUPER_TAXON", "root") in edges
+    # alt_id fan-out; unresolved alt dropped to dangling (Loader.groovy:45-47)
+    assert ("Zea", "ALT_ID", "root") in edges
+    dang = [(r["src_name"], r["rel_type"], r["dst_name"])
+            for r in out["dangling"].collect()]
+    assert dang == [("Zea", "ALT_ID", "99")]
+    assert ("Plantae", "SYNONYM", "green plants") in edges
+
+
+def test_load_domains_and_suppression(spark):
+    docs = spark.createDataFrame(
+        [(1, "IPR000001", "Family", {"pfam": ["PF00001", "PF00002"], "prosite": ["PS0001"]}),
+         (2, "IPR000002", "Domain", {"pfam": ["PF00001"]})],
+        "_id long, name string, type string, descriptors map<string, array<string>>",
+    )
+    out = docloaders.load_domains(docs)
+    nodes = {r["name"]: r for r in out["nodes"].collect()}
+    assert nodes["IPR000001"]["labels"] == ["Family", "InterPro"]
+    assert nodes["PF00001"]["labels"] == ["InterProSignature", "pfam"]
+    edges = {(r["src_name"], r["rel_type"], r["dst_name"])
+             for r in out["edge_candidates"].collect()}
+    assert ("PF00001", "CONTRIBUTES_TO", "IPR000001") in edges
+    assert ("PF00001", "CONTRIBUTES_TO", "IPR000002") in edges
+    assert len(edges) == 4
+    # signature-type set feeds the J11 suppression (GeneLoader.groovy:158-160)
+    sig = {r["sig_type"] for r in out["signature_types"].collect()}
+    assert sig == {"pfam", "prosite"}
+    feats = spark.createDataFrame(
+        [("g1", "Pfam"), ("g1", "signal_peptide"), ("g2", "PROSITE")],
+        "gene string, feature_type string",
+    )
+    kept = docloaders.suppress_signature_features(feats, out["signature_types"])
+    assert [r["feature_type"] for r in kept.collect()] == ["signal_peptide"]

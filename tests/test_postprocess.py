@@ -103,3 +103,51 @@ def test_bridge_by_name(spark):
     assert n == 1
     r = out.collect()[0]
     assert (r["src"], r["dst"], r["rel_type"]) == (1, 10, "DATABASE_BRIDGE")
+
+
+def test_absorb_node_as_prop(spark):
+    """import-cypher.txt:26 Taxon_2_crossReference: set n.xref = m.name,
+    delete m and the edge; other edges to m are dropped as dangling."""
+    nodes = spark.createDataFrame(
+        [(1, "TaxA", ["Taxon"], {}), (2, "TaxB", ["Taxon"], {"k": "v"}),
+         (10, "UniProt:P1", ["XRef"], {}), (11, "UniProt:P2", ["XRef"], {})],
+        "node_id long, name string, labels array<string>, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(1, 10, "XREF"), (2, 11, "XREF"), (1, 2, "SUPER_TAXON"), (2, 10, "OTHER")],
+        "src long, dst long, rel_type string",
+    )
+    n2, e2, cnt = pp.absorb_node_as_prop(nodes, edges, "XREF", "xref")
+    assert cnt == 2
+    got = {r["node_id"]: r for r in n2.collect()}
+    assert set(got) == {1, 2}  # xref value nodes deleted
+    assert got[1]["props"]["xref"] == "UniProt:P1"
+    assert got[2]["props"] == {"k": "v", "xref": "UniProt:P2"}
+    rem = {(r["src"], r["dst"], r["rel_type"]) for r in e2.collect()}
+    # the XREF edges are gone AND the stray OTHER edge to deleted node 10 drops
+    assert rem == {(1, 2, "SUPER_TAXON")}
+
+
+def test_collapse_node_to_edge(spark):
+    """import-cypher.txt:24 Regulation: mid node becomes a REGULATES edge
+    carrying the mid's first label; duplicates create-unique dedup."""
+    nodes = spark.createDataFrame(
+        [(1, "sub", ["Entity"], {}), (2, "obj", ["Entity"], {}),
+         (100, "reg1", ["PositiveRegulation", "Regulation"], {}),
+         (101, "reg2", ["PositiveRegulation"], {})],
+        "node_id long, name string, labels array<string>, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(100, 1, "REGULATOR"), (100, 2, "REGULATED"),
+         (101, 1, "REGULATOR"), (101, 2, "REGULATED"),
+         (1, 2, "XREF")],
+        "src long, dst long, rel_type string",
+    )
+    n2, e2, cnt = pp.collapse_node_to_edge(
+        nodes, edges, "REGULATOR", "REGULATED", "REGULATES"
+    )
+    assert cnt == 1  # create unique: both mids collapse onto one edge
+    assert {r["node_id"] for r in n2.collect()} == {1, 2}
+    rows = {(r["src"], r["dst"], r["rel_type"]): r for r in e2.collect()}
+    assert set(rows) == {(1, 2, "XREF"), (1, 2, "REGULATES")}
+    assert rows[(1, 2, "REGULATES")]["props"]["regulationType"] == "PositiveRegulation"
