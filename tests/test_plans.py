@@ -79,3 +79,22 @@ def test_two_hop_filters_before_join(spark):
     anti_pos = opt.find("Join LeftAnti")
     assert join_pos != -1 and anti_pos != -1
     assert anti_pos > join_pos  # anti-joins sit BELOW (after in text) the inner join
+
+
+def test_minhash_band_shuffle_carries_no_shingles(spark):
+    """The MinHash band self-join must shuffle ids + signatures only — the
+    shingle arrays (the text-sized payload) may appear in the plan only in
+    the post-pair verify join (the round-2 scale fix; VERDICT r1 item #3)."""
+    from graphene_spark.tdp import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} common text tail one two three") for i in range(8)],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_duplicates(docs, threshold=0.7)
+    plan = _plan(out)
+    # every Exchange on the band keys must not carry a shingle column
+    for block in plan.split("Exchange hashpartitioning")[1:]:
+        keys = block.split("\n")[0]
+        if "band_idx" in keys or "band_sig" in keys:
+            assert "_sh" not in keys, f"band shuffle carries shingles: {keys}"
