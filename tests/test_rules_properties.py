@@ -66,3 +66,45 @@ def test_mentions_only_from_gazetteer(noise):
         return
     mentions, _ = rules.extract_turn(noise, GAZ)
     assert mentions == []
+
+
+def _flat_gazetteer(aliases):
+    """The original longest-first flat alternation — kept here as the
+    specification the trie-compressed builder must be equivalent to."""
+    import re
+
+    norms = sorted(
+        {rules.normalize_alias(a) for a in aliases if a and a.strip()},
+        key=len, reverse=True,
+    )
+    parts = [r"[\s_\-]+".join(re.escape(t) for t in n.split(" ")) for n in norms]
+    if not parts:
+        parts = [r"(?!x)x"]
+    return re.compile(
+        r"(?<![A-Za-z0-9])(" + "|".join(parts) + r")(?![A-Za-z0-9])", re.IGNORECASE
+    )
+
+
+GAZ_ALIASES = ["Ent 00001", "ent_00002", "entity 00002", "ENT-00003",
+               "Alpha Beta", "Alpha", "Alpha Beta Gamma", "beta"]
+FLAT = _flat_gazetteer(GAZ_ALIASES)
+TRIE = rules.build_gazetteer_regex(GAZ_ALIASES)
+
+
+@given(text_strategy)
+@settings(max_examples=300, deadline=None)
+def test_trie_gazetteer_equivalent_to_flat_alternation(text):
+    """The trie-compressed gazetteer must produce EXACTLY the flat
+    longest-first alternation's matches on arbitrary text (same spans, same
+    surfaces, same order) — including nested/overlapping aliases."""
+    a = [(m.start(), m.group(1)) for m in FLAT.finditer(text)]
+    b = [(m.start(), m.group(1)) for m in TRIE.finditer(text)]
+    assert a == b
+
+
+@given(st.sampled_from(GAZ_ALIASES), st.sampled_from([" ", "_", "-", "  "]))
+@settings(max_examples=50, deadline=None)
+def test_trie_gazetteer_matches_alias_variants(alias, sep):
+    variant = alias.upper().replace(" ", sep).replace("_", sep).replace("-", sep)
+    hits = [m.group(1) for m in TRIE.finditer(f"we saw {variant} today")]
+    assert hits == [variant]
