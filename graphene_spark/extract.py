@@ -161,6 +161,80 @@ def metrics_from_rows(rows: DataFrame) -> DataFrame:
     )
 
 
+def extract_rows_arrow(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
+    """Same flat extraction as extract_rows, via ``mapInArrow``.
+
+    Skips the pandas materialization on both ends of the batch (input
+    RecordBatch -> python lists directly; output lists -> RecordBatch
+    directly), which trims the per-batch memory traffic the single-box
+    scaling analysis identifies as the 4N-side residual
+    (BENCH/BASELINE.md).  Measured 0-20% faster than the pandas path under
+    varying host load — kept as an alternative rather than the default
+    because the gain is within host noise while the pandas path is the
+    more widely exercised API.  Output is row-for-row identical
+    (tests/test_extract.py::test_arrow_extraction_parity)."""
+    alias_tuple = tuple(sorted(set(aliases)))
+
+    def gen(batches):
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                ("kind", pa.string()), ("subj", pa.string()),
+                ("pred", pa.string()), ("obj", pa.string()),
+                ("surface", pa.string()), ("n_mentions", pa.int32()),
+                ("n_triples", pa.int32()), ("is_error", pa.int32()),
+            ]
+        )
+        gaz = _gaz_for(alias_tuple)
+        for rb in batches:
+            names = rb.schema.names
+            conv_in = rb.column(names.index("conv_id")).to_pylist()
+            turn_in = rb.column(names.index("turn_idx")).to_pylist()
+            text_in = rb.column(names.index("text")).to_pylist()
+            conv_o, turn_o, kind_o = [], [], []
+            subj_o, pred_o, obj_o, surf_o = [], [], [], []
+            nm_o, nt_o, err_o = [], [], []
+
+            def emit(conv, turn, kind, subj=None, pred=None, obj=None,
+                     surface=None, nm=0, nt=0, err=0):
+                conv_o.append(conv); turn_o.append(turn); kind_o.append(kind)
+                subj_o.append(subj); pred_o.append(pred); obj_o.append(obj)
+                surf_o.append(surface); nm_o.append(nm); nt_o.append(nt)
+                err_o.append(err)
+
+            for conv, turn, text in zip(conv_in, turn_in, text_in):
+                turn = int(turn)
+                try:
+                    if text is None or text == "" or "\x00" in text:
+                        emit(conv, turn, "turn", err=1)
+                        continue
+                    mentions, triples = rules.extract_turn(text, gaz)
+                    emit(conv, turn, "turn", nm=len(mentions), nt=len(triples))
+                    for m in mentions:
+                        emit(conv, turn, "mention", surface=m)
+                    for t in triples:
+                        emit(conv, turn, "triple", subj=t.subj, pred=t.pred, obj=t.obj)
+                except Exception:  # noqa: BLE001 — skip bad rows with a metric
+                    emit(conv, turn, "turn", err=1)
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(conv_o, pa.string()), pa.array(turn_o, pa.int32()),
+                    pa.array(kind_o, pa.string()), pa.array(subj_o, pa.string()),
+                    pa.array(pred_o, pa.string()), pa.array(obj_o, pa.string()),
+                    pa.array(surf_o, pa.string()), pa.array(nm_o, pa.int32()),
+                    pa.array(nt_o, pa.int32()), pa.array(err_o, pa.int32()),
+                ],
+                schema=schema,
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "text").mapInArrow(
+        gen, schema=EXTRACT_ROWS_SCHEMA
+    )
+
+
 # ---------------------------------------------------------------------------
 # JVM-native extraction (no Python in the hot path)
 # ---------------------------------------------------------------------------

@@ -137,3 +137,17 @@ def test_error_turns_counted_not_fatal(spark, transcripts_df, transcripts_pdf, d
     n_bad = sum(1 for t in transcripts_pdf["text"] if not t or "\x00" in t)
     assert m["e"] == n_bad
     assert m["t"] == len(transcripts_pdf)
+
+
+def test_arrow_extraction_parity(spark, transcripts_pdf, dictionary_pdf):
+    """mapInArrow variant must produce row-for-row identical output to the
+    pandas path (hash + count over every column)."""
+    tdf = spark.createDataFrame(transcripts_pdf)
+    aliases = all_aliases(dictionary_pdf)
+    cols = "conv_id, turn_idx, kind, subj, pred, obj, surface, n_mentions, n_triples, is_error"
+    sig = lambda df: df.selectExpr(  # noqa: E731
+        f"bit_xor(xxhash64({cols})) AS h", "count(*) AS n"
+    ).collect()[0]
+    a = sig(extract.extract_rows_arrow(tdf, aliases))
+    b = sig(extract.extract_rows(tdf, aliases))
+    assert (a["h"], a["n"]) == (b["h"], b["n"])
