@@ -431,7 +431,10 @@ def q_tdp_langid_markers(spark, sf_dir):
 
 def q_tdp_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for the first three vectors as queries."""
+    from graphene_spark.session import ensure_shipped
     from graphene_spark.tdp import similarity
+
+    ensure_shipped(spark)  # cosine is a pandas UDF now — executors import us
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3).select(
