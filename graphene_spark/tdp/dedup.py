@@ -59,20 +59,31 @@ def word_shingles(col, n: int = 3):
     )
 
 
+def shingle_hashes(shingles_col):
+    """31-bit hash per shingle, JVM-side (one xxhash64 per element).
+
+    Hashing the strings in the JVM means the Arrow transfer to the minhash
+    UDF carries a compact int array instead of the shingle text, and the
+    Python side never touches a string — the earlier per-shingle
+    ``str.encode`` + ``crc32`` loop was the dominant cost of the signature
+    stage (~5M Python-level calls at sf0.1)."""
+    return F.transform(
+        shingles_col, lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 31) - 1))
+    )
+
+
 def _minhash_udf(num_hashes: int):
-    """Arrow-batched numpy MinHash: one stable crc32 hash per shingle (31-bit
-    x), K signatures via universal hashing h_k(x) = (a_k*x + b_k) mod p with
-    per-index constants (p = 2^31-1; products stay under 2^62 in int64).
+    """Arrow-batched numpy MinHash over pre-hashed shingles: K signatures via
+    universal hashing h_k(x) = (a_k*x + b_k) mod p with per-index constants
+    (p = 2^31-1; products stay under 2^62 in int64).
 
     Per-index constants are load-bearing: the earlier shared-(a, b) linear
     form a + k*b let one shingle with the smallest a AND b win every index,
     perfectly correlating the K minhashes and collapsing LSH recall (see
-    blocking.minhash_signature).  The pure-JVM variant evaluates interpreted
-    higher-order functions per element — measured ~20ms/doc at K=32 vs
-    microseconds here; same lesson as extraction (Arrow-batched Python beats
-    interpreted Catalyst expressions for per-token work)."""
+    blocking.minhash_signature).  The pure-JVM variant of the K-way min
+    evaluates interpreted nested higher-order functions — measured ~20ms/doc
+    at K=32 vs microseconds for the numpy broadcast here."""
     import numpy as np
-    from zlib import crc32
 
     from ..blocking import MERSENNE31, cw_constants
 
@@ -81,15 +92,13 @@ def _minhash_udf(num_hashes: int):
     b_v = np.array(b_s, dtype=np.int64)
 
     @F.pandas_udf("array<long>")
-    def compute(shingles: pd.Series) -> pd.Series:
+    def compute(hashes: pd.Series) -> pd.Series:
         out = []
-        for sh in shingles:
-            if sh is None or len(sh) == 0:
+        for xs in hashes:
+            if xs is None or len(xs) == 0:
                 out.append([0] * num_hashes)
                 continue
-            x = np.fromiter(
-                (crc32(s.encode()) for s in sh), dtype=np.int64, count=len(sh)
-            ) & MERSENNE31
+            x = np.asarray(xs, dtype=np.int64)
             out.append(
                 ((x[:, None] * a_v[None, :] + b_v[None, :]) % MERSENNE31)
                 .min(axis=0)
@@ -144,7 +153,9 @@ def minhash_duplicates(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), ngram_words).alias("_sh"),
     )
-    sig = shingles.select("_id", _minhash_udf(num_hashes)(F.col("_sh")).alias("_sig"))
+    sig = shingles.select(
+        "_id", _minhash_udf(num_hashes)(shingle_hashes(F.col("_sh"))).alias("_sig")
+    )
     banded = sig.select(
         "_id",
         "_sig",
