@@ -209,9 +209,13 @@ def absorb_node_as_prop(
         .select(F.col("src").alias("node_id"), "_val")
     )
     deleted = rel.select(F.col("dst").alias("node_id")).distinct()
+    # NO broadcast hints here: `deleted`/`absorbed` scale with the edge
+    # count (one row per absorbed node), not with a dimension table — at
+    # 100 TB a forced broadcast would OOM the driver.  AQE picks broadcast
+    # when they happen to be small.
     new_nodes = (
-        nodes.join(F.broadcast(deleted), "node_id", "left_anti")
-        .join(F.broadcast(absorbed), "node_id", "left")
+        nodes.join(deleted, "node_id", "left_anti")
+        .join(absorbed, "node_id", "left")
         .withColumn(
             "props",
             F.when(
@@ -227,8 +231,8 @@ def absorb_node_as_prop(
     del_ids = deleted.select(F.col("node_id").alias("_d"))
     new_edges = (
         edges.filter(F.col("rel_type") != rel_type)
-        .join(F.broadcast(del_ids), F.col("src") == F.col("_d"), "left_anti")
-        .join(F.broadcast(del_ids), F.col("dst") == F.col("_d"), "left_anti")
+        .join(del_ids, F.col("src") == F.col("_d"), "left_anti")
+        .join(del_ids, F.col("dst") == F.col("_d"), "left_anti")
     )
     return new_nodes, new_edges, absorbed.count()
 
@@ -259,7 +263,7 @@ def collapse_node_to_edge(
     )
     collapsed = (
         subs.join(objs, "mid")
-        .join(F.broadcast(mid_label), "mid")
+        .join(mid_label, "mid")  # same size class as the mid set — no hint
         .select("sub", "obj", "_lbl", "mid")
     )
     new_edges_rows = (
@@ -273,13 +277,15 @@ def collapse_node_to_edge(
         )
         .dropDuplicates(["src", "rel_type", "dst"])
     )
+    # mids scale with the Regulation row count — no broadcast hint (AQE
+    # decides); see absorb_node_as_prop.
     mids = collapsed.select(F.col("mid").alias("node_id")).distinct()
-    new_nodes = nodes.join(F.broadcast(mids), "node_id", "left_anti")
+    new_nodes = nodes.join(mids, "node_id", "left_anti")
     mid_ids = mids.select(F.col("node_id").alias("_d"))
     keep_edges = (
         edges.filter(~F.col("rel_type").isin([sub_rel, obj_rel]))
-        .join(F.broadcast(mid_ids), F.col("src") == F.col("_d"), "left_anti")
-        .join(F.broadcast(mid_ids), F.col("dst") == F.col("_d"), "left_anti")
+        .join(mid_ids, F.col("src") == F.col("_d"), "left_anti")
+        .join(mid_ids, F.col("dst") == F.col("_d"), "left_anti")
     )
     if "props" not in keep_edges.columns:
         keep_edges = keep_edges.withColumn(
