@@ -81,12 +81,16 @@ def build_edges(
     rows whose endpoints are missing are returned as ``dangling`` for the
     metrics table (Loader.groovy:45-47 logs-and-drops).
     Edges dedup on (src, rel_type, dst) — MERGE semantics (A7)."""
+    # no broadcast hint: the node id map scales with the DATA (every node),
+    # not with a dimension table — at 100 TB this resolution is a shuffle
+    # join on name (or a bucketed co-located join); AQE still converts to
+    # broadcast when the node set happens to be small.
     ids = nodes.select(F.col("name").alias("_n"), F.col("node_id").alias("_id"))
     src = ids.withColumnsRenamed({"_n": "_sn", "_id": "src"})
     dst = ids.withColumnsRenamed({"_n": "_dn", "_id": "dst"})
     joined = (
-        edge_candidates.join(F.broadcast(src), edge_candidates.src_name == F.col("_sn"), "left")
-        .join(F.broadcast(dst), edge_candidates.dst_name == F.col("_dn"), "left")
+        edge_candidates.join(src, edge_candidates.src_name == F.col("_sn"), "left")
+        .join(dst, edge_candidates.dst_name == F.col("_dn"), "left")
     )
     dangling = joined.filter(F.col("src").isNull() | F.col("dst").isNull()).select(
         *edge_candidates.columns
