@@ -256,6 +256,9 @@ def load_taxonomy(docs: DataFrame) -> dict[str, DataFrame]:
         F.lit("ALT_ID").alias("rel_type"),
     )
     refs = parent_refs.unionByName(alt_refs)
+    # broadcast is safe here: `ids` is the taxonomy collection itself (~10^6
+    # rows / ~100 MB for NCBI — the reference holds the same map in driver
+    # memory, Loader.groovy:22); it does NOT scale with the transcript corpus
     resolved = refs.join(F.broadcast(ids), "_tid").select(
         "src_name", F.col("_tname").alias("dst_name"), "rel_type"
     )
