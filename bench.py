@@ -52,17 +52,17 @@ def main() -> None:
     headline = [
         "j1_broadcast_equi",
         "j7_two_hop",
-        "a6_count_by_key",
+        "a4_a6_key_stats",
         "a8_sorted_set_name",
-        "w1_adjacency_next",
+        "w1_w2_chain_rank",
         "s2_split_explode",
         "tdp_exact_dedup",
         "tdp_cosine_topk",
-        "tdp_token_count",
+        "tdp_textstats",
     ]
     # JVM warmup (codegen, parquet footer cache, committer init) so the first
     # timed query doesn't absorb session start-up costs
-    _force(queries["a6_count_by_key"](spark, sf_dir))
+    _force(queries["a4_a6_key_stats"](spark, sf_dir))
     # Python worker-pool warmup (fork + pandas/pyarrow import, one task per
     # core) — a one-time session cost a long-running job amortizes; without
     # this the FIRST pandas-UDF query absorbs ~2-10s of pool spin-up and the

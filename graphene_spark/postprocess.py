@@ -92,6 +92,64 @@ def two_hop_edges(
     return out, out.count()
 
 
+def metabolite_link(
+    edges: DataFrame,
+    reaction_ids: DataFrame,
+    event_ids: DataFrame | None = None,
+    common_ids: DataFrame | None = None,
+    first_rel: str = "INPUT",
+    second_rel: str = "OUTPUT",
+    out_rel: str = "METABOLITE_LINK",
+) -> tuple[DataFrame, int]:
+    """METABOLITE_LINK diamond rewrite (post-import-cypher.txt:19):
+    ``match (i{common:false})-[:INPUT]->(r:Reaction)-[:OUTPUT]->(o{common:false}),
+    (i)-[:INPUT]->(r2:Event)-[:OUTPUT]->(o) merge (r)-[:METABOLITE_LINK]->(r2)``
+    — two events that consume the same non-common input AND produce the same
+    non-common output get linked, directed Reaction -> Event.
+
+    ``reaction_ids`` / ``event_ids``: node_id frames for the :Reaction and
+    :Event label sets (in the reference Reaction is a sub-label of Event, so
+    reaction_ids is normally a subset; ``event_ids=None`` means any node).
+    ``common_ids``: node_id frame of common=true entities excluded as i/o —
+    the reference's own skew mitigation: without it every ATP/H2O diamond
+    joins the full set of reactions touching it, and the (i, o) self-join
+    goes quadratic on exactly those hot keys.  Filter-before-join, same as
+    two_hop_edges.
+
+    r != r2 mirrors Cypher relationship-uniqueness: with set-semantics edges
+    (deduped on (src, rel_type, dst)) the two INPUT matches can only be the
+    same relationship when r = r2.  Returns (link_edges, count)."""
+    inp = edges.filter(F.col("rel_type") == first_rel).select(
+        F.col("src").alias("i"), F.col("dst").alias("r")
+    )
+    outp = edges.filter(F.col("rel_type") == second_rel).select(
+        F.col("src").alias("r"), F.col("dst").alias("o")
+    )
+    if common_ids is not None:
+        ex = common_ids.select(F.col("node_id").alias("_x"))
+        inp = inp.join(F.broadcast(ex), inp.i == F.col("_x"), "left_anti")
+        outp = outp.join(F.broadcast(ex), outp.o == F.col("_x"), "left_anti")
+    diamonds = inp.join(outp, "r")
+    # label filters are semi-joins on the small label-id sets — before the
+    # (i, o) self-join, so the join sides are already label-pruned
+    dia_r = diamonds.join(
+        reaction_ids.select(F.col("node_id").alias("r")).distinct(), "r", "left_semi"
+    )
+    dia_e = diamonds
+    if event_ids is not None:
+        dia_e = diamonds.join(
+            event_ids.select(F.col("node_id").alias("r")).distinct(), "r", "left_semi"
+        )
+    out = (
+        dia_r.join(dia_e.withColumnsRenamed({"r": "r2"}), ["i", "o"])
+        .filter(F.col("r") != F.col("r2"))
+        .select(F.col("r").alias("src"), F.col("r2").alias("dst"))
+        .withColumn("rel_type", F.lit(out_rel))
+        .dropDuplicates(["src", "rel_type", "dst"])
+    )
+    return out, out.count()
+
+
 def reify_pairs(
     to_edges: DataFrame,
     edges: DataFrame,

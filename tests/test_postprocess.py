@@ -151,3 +151,39 @@ def test_collapse_node_to_edge(spark):
     rows = {(r["src"], r["dst"], r["rel_type"]): r for r in e2.collect()}
     assert set(rows) == {(1, 2, "XREF"), (1, 2, "REGULATES")}
     assert rows[(1, 2, "REGULATES")]["props"]["regulationType"] == "PositiveRegulation"
+
+
+def test_metabolite_link(spark):
+    """post-import-cypher.txt:19 — diamond (i)-[:INPUT]->(r:Reaction)
+    -[:OUTPUT]->(o) with (i)-[:INPUT]->(r2:Event)-[:OUTPUT]->(o)."""
+    # i=1 feeds r=10 (Reaction) and r2=20 (plain Event); both output o=100
+    # i=2 feeds r=11 and r3=12 (both Reactions, both Events); both output 101
+    # i=3 is common: its diamond with (r=13, r2=21) must be excluded
+    # i=4 feeds r=14 and e=22, but they output DIFFERENT o — no link
+    edges = spark.createDataFrame(
+        [(1, 10, "INPUT"), (10, 100, "OUTPUT"),
+         (1, 20, "INPUT"), (20, 100, "OUTPUT"),
+         (2, 11, "INPUT"), (11, 101, "OUTPUT"),
+         (2, 12, "INPUT"), (12, 101, "OUTPUT"),
+         (3, 13, "INPUT"), (13, 102, "OUTPUT"),
+         (3, 21, "INPUT"), (21, 102, "OUTPUT"),
+         (4, 14, "INPUT"), (14, 103, "OUTPUT"),
+         (4, 22, "INPUT"), (22, 104, "OUTPUT")],
+        "src long, dst long, rel_type string",
+    )
+    reactions = spark.createDataFrame([(10,), (11,), (12,), (13,), (14,)], "node_id long")
+    events = spark.createDataFrame(
+        [(10,), (11,), (12,), (13,), (14,), (20,), (21,), (22,)], "node_id long"
+    )
+    common = spark.createDataFrame([(3,)], "node_id long")
+    out, cnt = pp.metabolite_link(edges, reactions, events, common)
+    got = {(r["src"], r["dst"]) for r in out.collect()}
+    # r=10 links to event 20; reactions 11<->12 link BOTH ways (each is also
+    # an Event); nothing from the common i=3 or the mismatched-output i=4
+    assert got == {(10, 20), (11, 12), (12, 11)}
+    assert cnt == 3
+    # without the common exclusion the i=3 diamond appears
+    out2, cnt2 = pp.metabolite_link(edges, reactions, events, None)
+    assert cnt2 == 4
+    got2 = {(r["src"], r["dst"]) for r in out2.collect()}
+    assert (13, 21) in got2
