@@ -55,29 +55,48 @@ def cw_constants(num_hashes: int, seed: int = 1042) -> tuple[list[int], list[int
     )
 
 
-def minhash_signature(shingles_col, num_hashes: int = 32):
-    """array<bigint> of per-index min hashes over the shingle set.
-
-    Universal hashing: ONE xxhash evaluation per shingle (x, 31-bit), then
-    h_i(x) = (a_i*x + b_i) mod p with per-index random constants and
-    p = 2^31-1 (products stay under 2^62, so ANSI-mode long arithmetic never
-    overflows).  Per-index constants matter: the earlier shared-(a, b) linear
-    form h_i = a + i*b let a single shingle with the smallest a AND smallest
-    b win EVERY index, making the K minhashes perfectly correlated and
-    silently collapsing LSH recall (observed: mentions with true Jaccard 0.8
-    produced zero candidates across 32 one-row bands)."""
-    a_s, b_s = cw_constants(num_hashes)
-    xs = F.transform(
+def hashed_shingles(shingles_col):
+    """array<bigint> of 31-bit xxhash64 values, one per shingle.  Keep this
+    in its OWN projection (a select/withColumn that minhash_from_hashes then
+    references as a plain column): Catalyst does not CSE duplicated lambda
+    subtrees across array elements, so embedding the hash transform inside
+    each of the K min expressions would evaluate xxhash64 K times per
+    shingle; a separate non-cheap projection referenced K times is NOT
+    inlined by CollapseProject and runs once (round-2 ADVICE item)."""
+    return F.transform(
         shingles_col, lambda sh: F.xxhash64(sh).bitwiseAND(F.lit(_MASK31))
     )
+
+
+def minhash_from_hashes(xs_col, num_hashes: int = 32):
+    """array<bigint> of per-index min hashes over pre-hashed shingles.
+
+    Universal hashing: h_i(x) = (a_i*x + b_i) mod p with per-index random
+    constants and p = 2^31-1 (products stay under 2^62, so ANSI-mode long
+    arithmetic never overflows).  Per-index constants matter: the earlier
+    shared-(a, b) linear form h_i = a + i*b let a single shingle with the
+    smallest a AND smallest b win EVERY index, making the K minhashes
+    perfectly correlated and silently collapsing LSH recall (observed:
+    mentions with true Jaccard 0.8 produced zero candidates across 32
+    one-row bands)."""
+    a_s, b_s = cw_constants(num_hashes)
     return F.array(
         *[
             F.array_min(
-                F.transform(xs, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
+                F.transform(xs_col, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
             )
             for a, b in zip(a_s, b_s)
         ]
     )
+
+
+def minhash_signature(shingles_col, num_hashes: int = 32):
+    """Convenience single-expression form of hashed_shingles +
+    minhash_from_hashes.  NOTE: inlines the hash transform into each of the
+    K min expressions, so xxhash64 runs K times per shingle — fine for
+    one-off small frames; hot paths (band_table) use the two-projection
+    split instead."""
+    return minhash_from_hashes(hashed_shingles(shingles_col), num_hashes)
 
 
 def band_table(
@@ -91,10 +110,16 @@ def band_table(
 ) -> DataFrame:
     """df -> one row per (id_cols..., band_idx, band_sig)."""
     rows = num_hashes // bands
-    sig = df.select(
-        *id_cols,
-        minhash_signature(shingle(F.col(text_col), ngram), num_hashes).alias("_sig"),
-        shingle(F.col(text_col), ngram).alias("_sh"),
+    sig = (
+        df.select(
+            *id_cols,
+            shingle(F.col(text_col), ngram).alias("_sh"),
+        )
+        # separate projection so xxhash64 runs ONCE per shingle (see
+        # hashed_shingles docstring — CollapseProject keeps it that way)
+        .withColumn("_xs", hashed_shingles(F.col("_sh")))
+        .withColumn("_sig", minhash_from_hashes(F.col("_xs"), num_hashes))
+        .drop("_xs")
     )
     return (
         sig.select(

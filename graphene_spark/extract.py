@@ -253,7 +253,12 @@ def extract_rows_arrow(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
 # that cross-checks the grammar.
 
 _NATIVE_ONTO = r"([a-z_]+) ([A-Z][A-Z0-9]{1,9}):0*(\d+) ! ([^.;|\n]*)"
-_NATIVE_XREF = r"xref ([A-Za-z][A-Za-z0-9_]*):([^.;,\n]+)"
+# mirrors rules.XREF_PATTERN (Java dialect): value stops before ' (' and
+# before a following keyword — keep the two in lockstep (parity test)
+_NATIVE_XREF = (
+    r"xref ([A-Za-z][A-Za-z0-9_]*):"
+    r"((?:(?!\s\()(?!\s(?:xref|has_rank|synonym:)\s)[^.;,\n])+)"
+)
 _NATIVE_RANK = r"has_rank NCBITaxon:(\w+)"
 _NATIVE_SYN = r"synonym: ([^.;|\n]+)"
 

@@ -46,6 +46,13 @@ def run_pipeline(
       -> groupBy(subj,pred,obj) dedup                       (1 shuffle, AQE-coalesced)
       -> node/edge groupBy + broadcast id joins             (1 shuffle each)
     """
+    # the extraction stage runs pandas UDFs that unpickle this package on
+    # executor workers — ship it for ANY session (idempotent; get_spark does
+    # this too, but run_pipeline is public API and must work on a session the
+    # caller built with a plain SparkSession.builder)
+    from .session import ensure_shipped
+
+    ensure_shipped(spark)
     # NOTE deliberately NOT persisted: the flat extraction recomputes in
     # ~0.7s/60k turns (warm) while materializing it into the block-manager
     # cache measured 2-4x slower than recomputation.  Downstream consumers

@@ -46,7 +46,17 @@ from dataclasses import dataclass
 ONTOLOGY_RELATIONSHIP_PATTERN = re.compile(
     r"\b([a-z_]+) ([A-Z][A-Z0-9]{1,9}):0*(\d+) ! ([^.;|\n]*)"
 )
-XREF_PATTERN = re.compile(r"\bxref ([A-Za-z][A-Za-z0-9_]*):([^.;,\n]+)")
+# value runs to sentence punctuation, but stops BEFORE a ' (' description
+# and before a following keyword (' xref '/' has_rank '/' synonym: ') so
+# adjacent clauses never leak into the value (round-2 ADVICE item).  The
+# grammar's xref sentences are punctuation-terminated by convention; free
+# text between the value and the closing punctuation is kept as part of the
+# value exactly like the reference keeps the remainder of the field
+# (GrameneMongoLoader.groovy:89-110).
+XREF_PATTERN = re.compile(
+    r"\bxref ([A-Za-z][A-Za-z0-9_]*):"
+    r"((?:(?!\s\()(?!\s(?:xref|has_rank|synonym:)\s)[^.;,\n])+)"
+)
 RANK_PATTERN = re.compile(r"\bhas_rank NCBITaxon:(\w+)\b")
 SYNONYM_PATTERN = re.compile(r"\bsynonym: ([^.;|\n]+)")
 

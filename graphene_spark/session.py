@@ -34,8 +34,11 @@ def ensure_shipped(spark: SparkSession) -> None:
         if f.endswith(".py")
     )
     if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest_src:
+        # per-process tmp name: concurrent driver processes must not write
+        # the same build file, or one could publish another's half-written
+        # archive — the rename below is only atomic for a private source
         tmp = shutil.make_archive(
-            zip_base + "_build", "zip", os.path.dirname(pkg_dir), "graphene_spark"
+            f"{zip_base}_build_{os.getpid()}", "zip", os.path.dirname(pkg_dir), "graphene_spark"
         )
         os.replace(tmp, zip_path)  # atomic: concurrent callers see a full zip
     try:

@@ -108,3 +108,18 @@ def test_trie_gazetteer_matches_alias_variants(alias, sep):
     variant = alias.upper().replace(" ", sep).replace("_", sep).replace("-", sep)
     hits = [m.group(1) for m in TRIE.finditer(f"we saw {variant} today")]
     assert hits == [variant]
+
+
+def test_xref_value_stops_at_description_and_keywords():
+    """Round-2 ADVICE: the xref value must not swallow a ' (description)'
+    suffix or a following keyword clause; free text up to the closing
+    punctuation is kept by design (reference keeps the field remainder)."""
+    def vals(text):
+        return [(m.group(1), m.group(2)) for m in rules.XREF_PATTERN.finditer(text)]
+
+    assert vals("has xref TAIR:X1 (some description).") == [("TAIR", "X1")]
+    assert vals("has xref A:v1 xref B:v2.") == [("A", "v1"), ("B", "v2")]
+    assert vals("has xref A:v1 has_rank NCBITaxon:genus.") == [("A", "v1")]
+    assert vals("xref A:v1 synonym: foo.") == [("A", "v1")]
+    # punctuation-terminated free text still runs to the punctuation
+    assert vals("has xref TAIR:X1 and more words.") == [("TAIR", "X1 and more words")]
