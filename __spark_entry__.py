@@ -371,17 +371,17 @@ def q_tdp_textstats(spark, sf_dir):
     (chars, mean token length), marker-word language scoring, and the
     winnowing fingerprint (min md5 over word 4-grams).
     (Merged tdp_token_count + tdp_quality + tdp_langid_markers +
-    tdp_fingerprint: same scan, one driver row.)"""
+    tdp_fingerprint: same scan, one driver row.)  The fingerprint column is
+    the Arrow-batched md5 kernel (textstats.fingerprint_md5_arrow) — the
+    interpreted JVM transform+md5 HOF was 2.9 s of the 3.2 s row."""
+    from graphene_spark.session import ensure_shipped
+    from graphene_spark.tdp import textstats
+
+    ensure_shipped(spark)
     d = _t(spark, sf_dir, "documents")
     ws = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(ws)
     markers = ["the", "and", "of", "a", "key"]
-    grams = F.when(F.size(ws) < 4, F.array(F.concat_ws(" ", ws))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 4),
-            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 4)),
-        )
-    )
     return d.select(
         "doc_id",
         n_tokens.alias("n_tokens_ws"),
@@ -396,7 +396,7 @@ def q_tdp_textstats(spark, sf_dir):
                 F.array(*[F.lit(m) for m in markers]),
             )
         ).alias("en_marker_hits"),
-        F.array_min(F.transform(grams, lambda g: F.md5(g))).alias("fingerprint"),
+        textstats.fingerprint_md5_arrow(F.col("text")).alias("fingerprint"),
     )
 
 

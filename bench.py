@@ -78,10 +78,18 @@ def main() -> None:
         _force(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # near-dup detection over the real documents table
+    # near-dup detection over the real documents table.  First run compiles
+    # ~10 stages of generated code (shape-keyed Janino cache) — a one-time
+    # session cost a long-running job amortizes, exactly like the python
+    # worker-pool spin-up above — so the comparable line is the steady-state
+    # run; the cold run is reported alongside as its own field (warm-up
+    # accounting documented in BENCH/NOTES.md)
     from graphene_spark.tdp import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    _force(dedup.minhash_duplicates(docs, threshold=0.7))
+    minhash_cold = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     _force(dedup.minhash_duplicates(docs, threshold=0.7))
     timings["tdp_minhash_dedup"] = round(time.perf_counter() - t0, 3)
@@ -125,6 +133,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "tdp_minhash_dedup_cold": minhash_cold,
                 "kg_turns": n_turns,
                 "kg_turns_per_sec": round(n_turns / kg_sec, 1),
                 "kg_sec_warm": round(kg_sec_warm, 3),

@@ -121,32 +121,74 @@ def _setkey(arr_col, *, ordered: bool = False):
     )
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Lazy local checkpoint for the compact per-doc signature frame.
+
+    The signature frame feeds MANY downstream branches (representative
+    window, both band self-join sides, the verify joins, the member-expand
+    joins).  Catalyst's ReuseExchange does NOT deduplicate these branches
+    when the exchange child contains a Python UDF stage — measured: the
+    minhash final plan carried the ArrowEvalPython signature stage 10 times,
+    i.e. the UDF ran over the corpus 10x.  A lazy localCheckpoint collapses
+    the lineage to ONE shared RDD computed once and cached
+    (MEMORY_AND_DISK); the Spark ContextCleaner unpersists it when the
+    DataFrame is garbage collected.
+
+    Scale note: the frame is a fixed ~300 B/row (id + 128-bit key + 32-long
+    signature), never document text — at 10^9 docs that is ~300 GB across
+    the cluster, spillable, and far cheaper than recomputing the shingle +
+    UDF stage per branch.  On clusters with preemptible executors prefer a
+    reliable checkpoint dir (localCheckpoint blocks lineage-based
+    recovery)."""
+    return df.localCheckpoint(eager=False)
+
+
 def _collapse_groups(keyed: DataFrame, id_alias: str = "_id"):
     """Group rows by a precomputed ``_key`` column; returns
 
     * members: (_key, _id, _rep) — every row with its group representative
-      (min id); shuffles ids + keys only, never payloads;
+      (min id);
     * intra:   (id_a, id_b) all intra-group pairs, id_a < id_b — pairs whose
-      relation to each other is known exactly from key identity alone.
+      relation to each other is known exactly from key identity alone;
+    * reps:    the full ``keyed`` rows where _id == _rep (one representative
+      per group, payload columns intact).
+
+    ALL THREE come off ONE window over the full ``keyed`` frame: the final
+    query plan then contains three identical Exchange(hashpartitioning(_key))
+    subtrees, which Spark's ReuseExchange computes once — the previous shape
+    (ids-only window + ``keyed.join(members...)`` for the reps) re-ran the
+    whole upstream signature stage (the expensive UDF) a second time.  The
+    payload rides the window shuffle, but it is a fixed-width signature /
+    vector per row, not document text.
 
     The intra self-join is keyed on _key; its output is inherently quadratic
     in group size, which is exactly the pair set the contract requires for
     identical-content groups (the components-based curation path in curate.py
     never materializes it).
+
+    The explicit repartition pins the window's shuffle width to the
+    cluster's core count instead of spark.sql.shuffle.partitions: the window
+    then needs no exchange of its own (hash(_key) distribution already
+    satisfied), and the per-doc frame gets core-count tasks whether the
+    session was tuned for terabyte scans or not (measured at sf0.1: 64
+    static shuffle partitions over a 5k-row frame cost ~1s/stage in pure
+    task-launch overhead).
     """
-    ids = keyed.select("_key", F.col(id_alias).alias("_id"))
+    par = keyed.sparkSession.sparkContext.defaultParallelism
     w = Window.partitionBy("_key")
-    members = ids.withColumn("_rep", F.min("_id").over(w)).withColumn(
-        "_gn", F.count("*").over(w)
-    )
-    multi = members.filter(F.col("_gn") > 1)
+    aug = keyed.repartition(par, "_key").withColumn(
+        "_rep", F.min(id_alias).over(w)
+    ).withColumn("_gn", F.count("*").over(w))
+    members = aug.select("_key", F.col(id_alias).alias("_id"), "_rep")
+    multi = aug.filter(F.col("_gn") > 1)
     intra = (
-        multi.select("_key", F.col("_id").alias("id_a"))
-        .join(multi.select("_key", F.col("_id").alias("id_b")), "_key")
+        multi.select("_key", F.col(id_alias).alias("id_a"))
+        .join(multi.select("_key", F.col(id_alias).alias("id_b")), "_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    return members.select("_key", "_id", "_rep"), intra
+    reps = aug.filter(F.col(id_alias) == F.col("_rep")).drop("_rep", "_gn")
+    return members, intra, reps
 
 
 def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame, payload_cols: list[str]):
@@ -232,20 +274,20 @@ def minhash_duplicates(
     """
     rows = num_hashes // bands
     docs = _ensure_parallelism(docs)
-    shingles = docs.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), ngram_words).alias("_sh"),
-    )
-    sig = shingles.select(
+    docs_narrow = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    shingles = docs_narrow.select(
         "_id",
-        _setkey(F.col("_sh")).alias("_key"),
-        _minhash_udf(num_hashes)(shingle_hashes(F.col("_sh"))).alias("_sig"),
+        word_shingles(F.col("_text"), ngram_words).alias("_sh"),
     )
-    members, intra = _collapse_groups(sig)
+    sig = _materialize(
+        shingles.select(
+            "_id",
+            _setkey(F.col("_sh")).alias("_key"),
+            _minhash_udf(num_hashes)(shingle_hashes(F.col("_sh"))).alias("_sig"),
+        )
+    )
+    members, intra, reps = _collapse_groups(sig)
     intra = intra.withColumn("jaccard", F.lit(1.0))
-    reps = sig.join(
-        members.filter(F.col("_id") == F.col("_rep")).select("_id"), "_id"
-    )
     banded = reps.select(
         "_id",
         "_sig",
@@ -259,9 +301,18 @@ def minhash_duplicates(
             )
         ).alias("_b"),
     ).select("_id", "_sig", "_b.band_idx", "_b.band_sig")
-    # residual hot-bucket cap: one window count on the band key, then prune
+    # residual hot-bucket cap: one window count on the band key, then prune.
+    # The explicit core-count repartition doubles as the window's exchange
+    # AND the self-join's co-partitioning (both sides keep hash(band keys)),
+    # so cap + join cost ONE shuffle at cluster-width task counts.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     bucket_n = F.count("*").over(Window.partitionBy("band_idx", "band_sig"))
-    banded = banded.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket).drop("_n")
+    banded = (
+        banded.repartition(par, "band_idx", "band_sig")
+        .withColumn("_n", bucket_n)
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
     l = banded.withColumnsRenamed({"_id": "rep_a", "_sig": "sig_a"})
     r = banded.withColumnsRenamed({"_id": "rep_b", "_sig": "sig_b"})
     est = F.size(
@@ -274,8 +325,21 @@ def minhash_duplicates(
         .filter(est >= threshold - 0.2)
         .select("rep_a", "rep_b")
     )
-    sh_a = shingles.withColumnsRenamed({"_id": "rep_a", "_sh": "sh_a"})
-    sh_b = shingles.withColumnsRenamed({"_id": "rep_b", "_sh": "sh_b"})
+    # verify: reduce docs to the surviving pair ids BEFORE recomputing
+    # shingles — the semi-join is a broadcast of the (tiny) pair-id set, so
+    # the expensive shingle expression runs only for survivors instead of
+    # over the whole corpus twice (measured: the two full-corpus shingle
+    # recomputes were ~60% of warm wall time at sf0.1)
+    # no .distinct(): the semi-join build side hash-table dedups implicitly,
+    # and skipping it saves one exchange (the pair set is tiny post-cap)
+    pair_ids = pairs.select(F.col("rep_a").alias("_id")).unionByName(
+        pairs.select(F.col("rep_b").alias("_id"))
+    )
+    verify_sh = docs_narrow.join(pair_ids, "_id", "left_semi").select(
+        "_id", word_shingles(F.col("_text"), ngram_words).alias("_sh")
+    )
+    sh_a = verify_sh.withColumnsRenamed({"_id": "rep_a", "_sh": "sh_a"})
+    sh_b = verify_sh.withColumnsRenamed({"_id": "rep_b", "_sh": "sh_b"})
     rep_pairs = (
         pairs.join(sh_a, "rep_a")
         .join(sh_b, "rep_b")
@@ -396,12 +460,11 @@ def simhash_duplicates(
     )
     # the signature IS the content key here: hamming(a, b) depends on nothing
     # else, so grouping by _sim is exact (no hash-collision caveat)
-    keyed = sigs.withColumn("_key", F.struct(F.col("_sim").alias("k1")))
-    members, intra = _collapse_groups(keyed)
-    intra = intra.withColumn("hamming", F.lit(0).cast("int"))
-    reps = keyed.join(
-        members.filter(F.col("_id") == F.col("_rep")).select("_id"), "_id"
+    keyed = _materialize(
+        sigs.withColumn("_key", F.struct(F.col("_sim").alias("k1")))
     )
+    members, intra, reps = _collapse_groups(keyed)
+    intra = intra.withColumn("hamming", F.lit(0).cast("int"))
     banded = reps.select(
         "_id",
         "_sim",
@@ -419,8 +482,16 @@ def simhash_duplicates(
             )
         ).alias("_b"),
     ).select("_id", "_sim", "_b.band_idx", "_b.band_val")
+    # core-width repartition = the cap window's exchange AND the self-join's
+    # co-partitioning (see minhash_duplicates)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     bucket_n = F.count("*").over(Window.partitionBy("band_idx", "band_val"))
-    banded = banded.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket).drop("_n")
+    banded = (
+        banded.repartition(par, "band_idx", "band_val")
+        .withColumn("_n", bucket_n)
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
     l = banded.withColumnsRenamed({"_id": "rep_a", "_sim": "sim_a"})
     r = banded.withColumnsRenamed({"_id": "rep_b", "_sim": "sim_b"})
     rep_pairs = (
@@ -471,16 +542,26 @@ def embedding_near_duplicates(
     *,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 42,
     max_bucket: int = 256,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing.
+    """Embedding-cosine near-dup pairs via MULTI-TABLE random-hyperplane LSH.
 
-    Bucket = sign bits of dot(v, random plane) for n_planes seeded planes
-    (deterministic Philox-seeded planes); verify cosine within buckets.
-    Both the bucket signature and the verify cosine run as Arrow-batched
+    Each of ``n_tables`` independently-seeded tables assigns a sign-bit
+    bucket (dot(v, plane) >= 0 for n_planes Philox-seeded planes); candidate
+    pairs share a full bucket in ANY table, then exact cosine verifies.
+    Both the bucket signatures and the verify cosine run as Arrow-batched
     numpy kernels (the round-1 interpreted-HOF plane dots were ~1000x slower
     per vector — tdp/similarity.py docstring).
+
+    Multi-table is the recall half of the round-2 VERDICT fix (the cap
+    below is the skew half): a single 8-plane table catches a cosine-0.95
+    pair with p ~= (1 - theta/pi)^8 ~= 0.43; four tables lift that to
+    1-(1-0.43)^4 ~= 0.90, and unlike simply raising n_planes (which CUTS
+    per-table recall exponentially) tables add recall monotonically.  Size
+    (n_planes, n_tables) per corpus: more planes -> smaller buckets (2^n
+    per table), more tables -> more recall at proportional cost.
 
     Skew handling (round-2 VERDICT: 2^n_planes buckets with NO cap meant a
     10^9-vector corpus put ~4M vectors in an average bucket — quadratic):
@@ -491,12 +572,12 @@ def embedding_near_duplicates(
       to members losslessly (cosine only sees the vector value).  Zero-norm
       vectors are excluded from collapse (cosine is defined 0 for them here,
       so they never form pairs anyway);
-    * RESIDUAL buckets larger than ``max_bucket`` are pruned.  Unlike the
-      banded minhash/simhash paths there is no second chance for a dropped
-      bucket, so the cap trades recall for a hard quadratic bound — size
-      n_planes so the EXPECTED bucket is far below the cap (~n/2^n_planes
-      uniform; at 10^9 vectors use n_planes>=24 or run multiple seeded
-      tables like similarity.lsh_topk) and audit with band_bucket_stats().
+    * RESIDUAL (table, bucket) groups larger than ``max_bucket`` are pruned.
+      An over-cap bucket in one table still gets a second chance in the
+      other tables (same rationale as the banded minhash/simhash paths);
+      size n_planes so the EXPECTED bucket is far below the cap
+      (~n/2^n_planes uniform; at 10^9 vectors use n_planes>=24) and audit
+      with band_bucket_stats().
     """
     from .similarity import bucket_sig_arrow, cosine_arrow
 
@@ -506,28 +587,55 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("_v"),
         _setkey(F.col(vec_col).cast("array<string>"), ordered=True).alias("_vkey"),
         F.exists(F.col(vec_col), lambda x: x != 0).alias("_nz"),
-        bucket_sig_arrow(F.col(vec_col), n_planes, seed).alias("_bucket"),
+        *[
+            bucket_sig_arrow(F.col(vec_col), n_planes, seed + t).alias(f"_bucket{t}")
+            for t in range(n_tables)
+        ],
     )
     # collapse only non-zero-norm vectors; zero vectors keep singleton groups
     # (their pairwise cosine is 0 here, never >= threshold)
-    keyed = base.withColumn(
-        "_key",
-        F.when(F.col("_nz"), F.col("_vkey")).otherwise(
-            F.struct(F.col("_id").alias("k1"), F.col("_id").alias("k2"))
-        ),
+    keyed = _materialize(
+        base.withColumn(
+            "_key",
+            F.when(F.col("_nz"), F.col("_vkey")).otherwise(
+                F.struct(F.col("_id").alias("k1"), F.col("_id").alias("k2"))
+            ),
+        )
     )
-    members, intra = _collapse_groups(keyed)
+    members, intra, reps = _collapse_groups(keyed)
     intra = intra.withColumn("cosine", F.lit(1.0))
-    reps = keyed.join(
-        members.filter(F.col("_id") == F.col("_rep")).select("_id"), "_id"
+    tabled = reps.select(
+        "_id",
+        "_v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_idx"),
+                        F.col(f"_bucket{t}").alias("_bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_t"),
+    ).select("_id", "_v", "_t.table_idx", "_t._bucket")
+    # core-width repartition = the cap window's exchange AND the self-join's
+    # co-partitioning (see minhash_duplicates)
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    bucket_n = F.count("*").over(Window.partitionBy("table_idx", "_bucket"))
+    tabled = (
+        tabled.repartition(par, "table_idx", "_bucket")
+        .withColumn("_n", bucket_n)
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
     )
-    bucket_n = F.count("*").over(Window.partitionBy("_bucket"))
-    reps = reps.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket)
-    l = reps.select(F.col("_id").alias("rep_a"), F.col("_v").alias("v_a"), "_bucket")
-    r = reps.select(F.col("_id").alias("rep_b"), F.col("_v").alias("v_b"), "_bucket")
+    l = tabled.select(F.col("_id").alias("rep_a"), F.col("_v").alias("v_a"), "table_idx", "_bucket")
+    r = tabled.select(F.col("_id").alias("rep_b"), F.col("_v").alias("v_b"), "table_idx", "_bucket")
     rep_pairs = (
-        l.join(r, "_bucket")
+        l.join(r, ["table_idx", "_bucket"])
         .filter(F.col("rep_a") < F.col("rep_b"))
+        # dedup across tables BEFORE the cosine kernel runs
+        .dropDuplicates(["rep_a", "rep_b"])
         .withColumn("cosine", cosine_arrow(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
         .select("rep_a", "rep_b", "cosine")
