@@ -514,6 +514,27 @@ def q_tdp_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_tdp_curate(spark, sf_dir):
+    """End-to-end curation pipeline (tdp/curate.py:25): quality gates ->
+    exact dedup -> MinHash near-dup pairs -> connected components -> keep
+    group minimum, reported as the per-stage counters the reference's
+    post-import statements return.  The oracle mirrors EVERY stage in pure
+    SQL: the quality composite arithmetic, text-normalized exact groups,
+    exact all-pairs shingle Jaccard (valid for the LSH stage by the same
+    recall argument as tdp_minhash_dedup), and connected components via a
+    recursive min-label-propagation CTE."""
+    from graphene_spark.session import ensure_shipped
+    from graphene_spark.tdp import curate
+
+    ensure_shipped(spark)
+    d = _t(spark, sf_dir, "documents")
+    res = curate.curate_corpus(
+        d, min_quality=0.3, min_tokens=5, near_dup_threshold=0.7
+    )
+    rows = sorted(res["counters"].items())
+    return spark.createDataFrame(rows, "stage string, cnt long")
+
+
 # deterministic embedding fixture: three direction-groups; members of a group
 # are exact scalar multiples (cosine 1.0), across groups well below threshold
 _EMB_FIXTURE = [
@@ -1138,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdp_embedding_dedup": q_tdp_embedding_dedup,
         "tdp_cosine_topk": q_tdp_cosine_topk,
         "tdp_textstats": q_tdp_textstats,
+        "tdp_curate": q_tdp_curate,
     }
 
 
@@ -1351,6 +1373,78 @@ def _ops_oracles() -> dict[str, str]:
                           ORDER BY cosine DESC, vec_id) AS INT) AS rank
               FROM scored)
             SELECT * FROM ranked WHERE rank <= 5
+        """,
+        # full curation pipeline mirrored stage-by-stage; CC via recursive
+        # min-label propagation (terminates: UNION dedups, labels only flow
+        # along edges of the finite graph)
+        "tdp_curate": """
+            WITH RECURSIVE norm AS (
+              SELECT doc_id, text,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+              FROM documents),
+            feats AS (
+              SELECT doc_id, text, ntext,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split(ntext, ' ')) END AS n_tokens,
+                     length(text) AS n_chars,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                     len(list_intersect(list_distinct(string_split(ntext, ' ')),
+                         ['the','a','and','of','to','in','is','it','for','on'])) AS stop_hits
+              FROM norm),
+            q AS (
+              SELECT doc_id, ntext, n_tokens,
+                     round(
+                       (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END)
+                       + (CASE WHEN (CASE WHEN n_tokens > 0
+                                          THEN CAST(n_chars AS DOUBLE) / n_tokens
+                                          ELSE 0.0 END) BETWEEN 3 AND 12 THEN 0.2 ELSE 0.0 END)
+                       + (CASE WHEN (CASE WHEN n_chars > 0
+                                          THEN CAST(n_punct AS DOUBLE) / n_chars
+                                          ELSE 0.0 END) <= 0.2 THEN 0.2 ELSE 0.0 END)
+                       + (CASE WHEN n_tokens > 0
+                               THEN CAST(stop_hits AS DOUBLE) / 10 ELSE 0.0 END) * 0.2
+                     , 4) AS quality
+              FROM feats),
+            gated AS (
+              SELECT doc_id, ntext, n_tokens FROM q
+              WHERE quality >= 0.3 AND n_tokens >= 5),
+            canon AS (
+              SELECT doc_id, ntext FROM (
+                SELECT doc_id, ntext,
+                       min(doc_id) OVER (PARTITION BY ntext) AS grp
+                FROM gated)
+              WHERE doc_id = grp),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                                                            i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS s
+              FROM (SELECT doc_id, string_split(ntext, ' ') AS ws FROM canon)),
+            p AS (
+              SELECT a.doc_id AS ida, b.doc_id AS idb
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                      / len(list_distinct(a.s || b.s)) >= 0.7),
+            nodes AS (SELECT DISTINCT id FROM (
+              SELECT ida AS id FROM p UNION SELECT idb FROM p)),
+            bi AS (SELECT ida AS src, idb AS dst FROM p
+                   UNION SELECT idb, ida FROM p),
+            reach(id, lbl) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.dst, r.lbl FROM reach r JOIN bi e ON e.src = r.id),
+            comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+            losers AS (SELECT id FROM comp WHERE id <> component)
+            SELECT 'after_exact_dedup' AS stage,
+                   (SELECT count(*) FROM canon) AS cnt
+            UNION ALL SELECT 'after_near_dedup',
+                   (SELECT count(*) FROM canon
+                    WHERE doc_id NOT IN (SELECT id FROM losers))
+            UNION ALL SELECT 'after_quality_gate', (SELECT count(*) FROM gated)
+            UNION ALL SELECT 'input', (SELECT count(*) FROM documents)
+            UNION ALL SELECT 'near_dup_groups',
+                   (SELECT count(DISTINCT component) FROM comp)
         """,
         "pp_absorb_prop": """
             SELECT n_name AS name, 'XR' || n_regionkey AS xref FROM nation

@@ -91,7 +91,12 @@ def run_at(cores: int, n_convs: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--turns", type=int, default=6_000_000)
+    # 12M turns (round 3, was 6M): the non-scaling residual is ~constant
+    # (~2-3 s: job submission + AQE coordination + broadcast build), so
+    # doubling the parallel work halves its share of the 4N-side wall time —
+    # the cheapest honest way to measure the steady-state region a
+    # 10^12-turn cluster run actually lives in
+    ap.add_argument("--turns", type=int, default=12_000_000)
     ap.add_argument("--n", type=int, default=4, help="small parallelism N")
     ap.add_argument("--n4", type=int, default=16, help="large parallelism 4N")
     ap.add_argument("--samples", type=int, default=1, help="full-protocol repetitions")
