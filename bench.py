@@ -90,9 +90,16 @@ def main() -> None:
     t0 = time.perf_counter()
     _force(dedup.minhash_duplicates(docs, threshold=0.7))
     minhash_cold = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    _force(dedup.minhash_duplicates(docs, threshold=0.7))
-    timings["tdp_minhash_dedup"] = round(time.perf_counter() - t0, 3)
+    # steady state = best of two warm runs (same convention as
+    # bench_scaling.py: host contention on the shared box only ever SLOWS a
+    # run — observed 4x swings between adjacent identical runs — so the min
+    # is the least-biased steady estimate)
+    steady = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _force(dedup.minhash_duplicates(docs, threshold=0.7))
+        steady.append(round(time.perf_counter() - t0, 3))
+    timings["tdp_minhash_dedup"] = min(steady)
 
     # KG stage: extraction + linking throughput (turns/sec) on synthetic
     # transcripts scaled with sf (sf0.1 -> 600k turns), generated DISTRIBUTED
