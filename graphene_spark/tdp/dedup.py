@@ -113,12 +113,23 @@ def _setkey(arr_col, *, ordered: bool = False):
     """128-bit content key for an array column: two independent 64-bit
     xxhash64 salts over the canonical form (sorted for set semantics, as-is
     for ``ordered`` sequences like vectors).  64 bits alone would give
-    ~n^2/2^64 false 'identical' pairs — real at 10^9 docs; 2x64 is not."""
-    canon = F.concat_ws("\x1f", arr_col if ordered else F.array_sort(arr_col))
-    return F.struct(
-        F.xxhash64(F.lit("k1"), canon).alias("k1"),
-        F.xxhash64(F.lit("k2"), canon).alias("k2"),
-    )
+    ~n^2/2^64 false 'identical' pairs — real at 10^9 docs; 2x64 is not.
+
+    Each ELEMENT is hashed (per salt) before the join: concatenating raw
+    strings is delimiter-injectable — {'x\\x1fy', 'z'} and {'x', 'y', 'z'}
+    would share a key, and collapse asserts jaccard exactly 1.0 for key
+    matches WITHOUT verification, so dirty corpora with C0 control bytes in
+    tokens could produce false perfect-duplicate pairs.  The two salts are
+    applied per element (not to the joined string), so a single-element
+    64-bit collision cannot fool both keys."""
+    def salted(salt: str):
+        hashed = F.transform(arr_col, lambda x: F.xxhash64(F.lit(salt), x))
+        canon = F.concat_ws(
+            "\x1f", (hashed if ordered else F.array_sort(hashed)).cast("array<string>")
+        )
+        return F.xxhash64(canon)
+
+    return F.struct(salted("k1").alias("k1"), salted("k2").alias("k2"))
 
 
 def _materialize(df: DataFrame) -> DataFrame:
@@ -253,7 +264,14 @@ def minhash_duplicates(
       Jaccard is exactly 1.0 by set identity), and cross pairs found at the
       representative level are expanded to members afterwards — lossless,
       because identical shingle sets have identical Jaccard against any
-      third document.  The group key is 2x64-bit (see _setkey);
+      third document.  The group key is 2x64-bit (see _setkey).  The
+      signature UDF does still run once per MEMBER row (not only per
+      representative): it is linear, vectorized, and cheap per row, and
+      keying first / rejoining shingles for reps only would recompute the
+      (more expensive) shingle expression a second time for every
+      non-duplicated doc — the wrong trade except under extreme dup
+      ratios.  The collapse targets the QUADRATIC pair explosion, which
+      is what actually kills the job;
     * the band shuffle carries (_id, band keys, _sig) — the 32-long signature
       is ~256 B/row regardless of document size, so shuffle volume is
       O(bands x ids), not O(bands x text);
@@ -279,10 +297,19 @@ def minhash_duplicates(
         "_id",
         word_shingles(F.col("_text"), ngram_words).alias("_sh"),
     )
+    # NULL-text docs must NOT collapse together: collapse asserts jaccard
+    # exactly 1.0 for key matches, but jaccard() defines the null case as
+    # 0.0 (they pair with nothing).  Null-shingle rows get a singleton key
+    # from their id (same convention as the embedding zero-norm path); they
+    # then band via the all-zero signature and are correctly rejected by the
+    # exact verify.
+    key = F.when(F.col("_sh").isNotNull(), _setkey(F.col("_sh"))).otherwise(
+        F.struct(F.col("_id").alias("k1"), F.col("_id").alias("k2"))
+    )
     sig = _materialize(
         shingles.select(
             "_id",
-            _setkey(F.col("_sh")).alias("_key"),
+            key.alias("_key"),
             _minhash_udf(num_hashes)(shingle_hashes(F.col("_sh"))).alias("_sig"),
         )
     )

@@ -119,11 +119,15 @@ def fingerprint_md5_arrow(col):
 
     Token semantics mirror ``split(trim(text), '\\s+')`` exactly: trim
     strips ASCII spaces ONLY (a leading tab yields a leading empty token,
-    same as Spark/DuckDB), and empty text yields md5('')."""
+    same as Spark/DuckDB), empty text yields md5(''), and the split regex
+    is compiled with re.ASCII — Python's default \\s is Unicode-aware
+    (NBSP, U+2000 range, \\x1c-\\x1f) while Java/DuckDB \\s is ASCII-only,
+    so without the flag fingerprints diverge on any document containing
+    Unicode whitespace."""
     import hashlib
     import re
 
-    ws_re = re.compile(r"\s+")
+    ws_re = re.compile(r"\s+", re.ASCII)
 
     @F.pandas_udf("string")
     def compute(texts: pd.Series) -> pd.Series:

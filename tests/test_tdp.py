@@ -245,3 +245,55 @@ def test_embedding_identical_cluster_beyond_cap(spark):
     cross = {(i, 9000) for i in range(k)}
     assert set(got) == intra | cross
     assert all(abs(c - 1.0) < 1e-12 for c in got.values())
+
+
+def test_minhash_null_text_never_pairs(spark):
+    """Round-3 review: NULL-text docs must pair with NOTHING (jaccard
+    defines the null case as 0.0) — the identical-content collapse must not
+    group them together or with empty docs and assert jaccard 1.0."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "real text here with words")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_duplicates(docs, threshold=0.7).collect()
+    ids_in_pairs = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert 1 not in ids_in_pairs and 2 not in ids_in_pairs, pairs
+
+
+def test_setkey_not_delimiter_injectable(spark):
+    """Round-3 review: tokens containing the \\x1f join delimiter must not
+    collapse distinct shingle sets onto one content key (which would assert
+    jaccard exactly 1.0 without verification)."""
+    docs = spark.createDataFrame(
+        [(1, "x\x1fy z"), (2, "x y z")], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_duplicates(docs, ngram_words=1, threshold=0.7).collect()
+    assert not any(r["jaccard"] == 1.0 for r in pairs), pairs
+
+
+def test_fingerprint_md5_arrow_matches_jvm_on_unicode_whitespace(spark):
+    """Round-3 review: Python \\s is Unicode-aware, Java/DuckDB \\s is not —
+    the Arrow md5 fingerprint must tokenize with re.ASCII so NBSP-bearing
+    documents fingerprint identically to the JVM expression."""
+    import pyspark.sql.functions as F
+
+    from graphene_spark.tdp import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "foo bar baz qux quux corge"), (2, "plain old ascii words here")],
+        "doc_id long, text string",
+    )
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.when(F.size(ws) < 4, F.array(F.concat_ws(" ", ws))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 4),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, 4)),
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        textstats.fingerprint_md5_arrow(F.col("text")).alias("got"),
+        F.array_min(F.transform(grams, lambda g: F.md5(g))).alias("want"),
+    ).collect()
+    for r in out:
+        assert r["got"] == r["want"], r
