@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from . import materialize, pipeline
@@ -77,6 +78,180 @@ def stream_transcripts(
                 "n_edges": n_e,
             },
             run_id=f"stream-{batch_id}",
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup dedup at ingest: new documents vs a persisted index
+# ---------------------------------------------------------------------------
+
+DOCUMENTS_SCHEMA = "doc_id long, text string, source string"
+
+
+def dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    ngram_words: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 64,
+) -> dict:
+    """One micro-batch of incremental dedup: reject arriving docs that
+    near-duplicate (Jaccard >= threshold) anything already ACCEPTED, then
+    append the survivors and their band signatures to the persisted state.
+
+    The 100 TB shape: the index lookup is an equi-join on (band_idx,
+    band_sig) — the arriving batch's banded signatures (small) against the
+    band index (big, but hash-partitioned by the merge layout); candidate
+    pairs are estimate-filtered on signature agreement, exact-verified by
+    re-shingling ONLY the touched accepted docs (semi-join on id, same
+    shape as minhash_duplicates' verify), and the accepted corpus is never
+    scanned in full.  State layout under ``out_dir``:
+
+    * ``accepted``   — the curated corpus (insert-if-absent on doc_id);
+    * ``band_index`` — (_id, band_idx, band_sig, _sig) rows (insert-if-
+      absent on (doc_id, band_idx)).
+
+    Exactly-once under replays: both appends are keyed merges, and the
+    index lookup excludes same-id matches, so a batch re-run after a
+    partial failure re-derives the same accept/reject decisions instead of
+    rejecting its own half-written rows as duplicates.
+
+    Returns counters {"arrived", "in_batch_dups", "index_dups", "accepted"}.
+    """
+    from pyspark.sql import Window
+
+    from .tdp import dedup as dd
+
+    arrived = batch_df.count()
+    # 1. in-batch dedup: smaller id wins, exactly like curate_corpus
+    pairs = dd.minhash_duplicates(
+        batch_df, id_col=id_col, text_col=text_col, threshold=threshold,
+        ngram_words=ngram_words, num_hashes=num_hashes, bands=bands,
+        max_bucket=max_bucket,
+    )
+    losers = (
+        pairs.select(F.greatest("id_a", "id_b").alias(id_col)).distinct()
+    )
+    survivors = batch_df.join(losers, id_col, "left_anti")
+
+    # 2. band the surviving batch docs
+    sig = dd.signature_frame(
+        survivors, id_col, text_col, ngram_words=ngram_words, num_hashes=num_hashes
+    )
+    banded = dd.band_frame(sig, num_hashes=num_hashes, bands=bands)
+
+    index_path = os.path.join(out_dir, "band_index")
+    accepted_path = os.path.join(out_dir, "accepted")
+    index_dup_ids = None
+    n_index_dups = 0
+    if os.path.exists(index_path):
+        idx = materialize.read_merged(spark, index_path)
+        # residual hot-band cap on the INDEX side (same rationale as
+        # minhash_duplicates: one degenerate band value over the full
+        # history must not go quadratic against every future batch)
+        bucket_n = F.count("*").over(Window.partitionBy("band_idx", "band_sig"))
+        idx = idx.withColumn("_n", bucket_n).filter(F.col("_n") <= max_bucket).drop("_n")
+        cand = (
+            banded.withColumnsRenamed({"_id": "new_id", "_sig": "new_sig"})
+            .join(
+                # the index stores the id under id_col (renamed at write)
+                idx.withColumnsRenamed({id_col: "old_id", "_sig": "old_sig"}),
+                ["band_idx", "band_sig"],
+            )
+            .filter(F.col("new_id") != F.col("old_id"))  # replay safety
+            .dropDuplicates(["new_id", "old_id"])
+        )
+        est = F.size(
+            F.filter(F.zip_with("new_sig", "old_sig", lambda x, y: x == y), lambda v: v)
+        ) / F.lit(num_hashes)
+        cand = cand.filter(est >= threshold - 0.2).select("new_id", "old_id")
+        # exact verify: re-shingle ONLY the touched docs on each side
+        old_sh = (
+            materialize.read_merged(spark, accepted_path)
+            .join(cand.select(F.col("old_id").alias(id_col)), id_col, "left_semi")
+            .select(
+                F.col(id_col).alias("old_id"),
+                dd.word_shingles(F.col(text_col), ngram_words).alias("old_sh"),
+            )
+        )
+        new_sh = survivors.join(
+            cand.select(F.col("new_id").alias(id_col)), id_col, "left_semi"
+        ).select(
+            F.col(id_col).alias("new_id"),
+            dd.word_shingles(F.col(text_col), ngram_words).alias("new_sh"),
+        )
+        verified = (
+            cand.join(new_sh, "new_id")
+            .join(old_sh, "old_id")
+            .filter(dd.jaccard(F.col("new_sh"), F.col("old_sh")) >= threshold)
+        )
+        index_dup_ids = verified.select(F.col("new_id").alias(id_col)).distinct()
+        n_index_dups = index_dup_ids.count()
+        survivors = survivors.join(index_dup_ids, id_col, "left_anti")
+        banded = banded.join(
+            index_dup_ids.withColumnsRenamed({id_col: "_id"}), "_id", "left_anti"
+        )
+
+    # 3. idempotent appends
+    n_acc = materialize.merge_insert_absent(spark, survivors, accepted_path, [id_col])
+    materialize.merge_insert_absent(
+        spark,
+        banded.withColumnsRenamed({"_id": id_col}),
+        index_path,
+        [id_col, "band_idx"],
+    )
+    n_in_batch = arrived - survivors.count() - n_index_dups
+    return {
+        "arrived": arrived,
+        "in_batch_dups": n_in_batch,
+        "index_dups": n_index_dups,
+        "accepted": n_acc,
+    }
+
+
+def stream_dedup_documents(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    *,
+    threshold: float = 0.7,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous dedup-at-ingest: readStream over arriving document files,
+    ``dedup_batch`` per micro-batch against the persisted accepted corpus +
+    band index.  Same exactly-once story as stream_transcripts: offsets in
+    the stream checkpoint, keyed merges in the sink."""
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        counters = dedup_batch(spark, batch_df, out_dir, threshold=threshold)
+        materialize.write_lineage_row(
+            spark,
+            os.path.join(out_dir, "lineage"),
+            bucket=int(batch_id),
+            status="done",
+            counters=counters,
+            run_id=f"dedup-stream-{batch_id}",
         )
 
     writer = (

@@ -223,6 +223,52 @@ def _expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame, payload_cols: li
     )
 
 
+def band_frame(sig_df: DataFrame, *, num_hashes: int = 32, bands: int = 8) -> DataFrame:
+    """(_id, _sig) -> one row per (_id, _sig, band_idx, band_sig): each band
+    is the xxhash64 of its signature slice.  Shared by minhash_duplicates
+    and the streaming incremental-dedup index (streaming.py) so both sides
+    of an index lookup band identically."""
+    rows = num_hashes // bands
+    return (
+        sig_df.select(
+            "_id",
+            "_sig",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band_idx"),
+                        F.xxhash64(
+                            F.slice("_sig", b * rows + 1, rows).cast("string")
+                        ).alias("band_sig"),
+                    ),
+                )
+            ).alias("_b"),
+        )
+        .select("_id", "_sig", "_b.band_idx", "_b.band_sig")
+    )
+
+
+def signature_frame(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram_words: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(_id, _sig) per doc — the MinHash signature stage without the
+    collapse/banding (used by the streaming incremental-dedup path where
+    exact duplicates are caught by the index lookup itself)."""
+    narrow = _ensure_parallelism(
+        docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    )
+    sh = narrow.select("_id", word_shingles(F.col("_text"), ngram_words).alias("_sh"))
+    return sh.select(
+        "_id", _minhash_udf(num_hashes)(shingle_hashes(F.col("_sh"))).alias("_sig")
+    )
+
+
 def band_bucket_stats(banded: DataFrame, key_cols: list[str], max_bucket: int) -> DataFrame:
     """Audit helper: per-bucket sizes with a ``dropped`` flag for buckets over
     ``max_bucket`` — run this (an action) when tuning caps; the pipelines
@@ -315,19 +361,7 @@ def minhash_duplicates(
     )
     members, intra, reps = _collapse_groups(sig)
     intra = intra.withColumn("jaccard", F.lit(1.0))
-    banded = reps.select(
-        "_id",
-        "_sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.xxhash64(F.slice("_sig", b * rows + 1, rows).cast("string")).alias("band_sig"),
-                ),
-            )
-        ).alias("_b"),
-    ).select("_id", "_sig", "_b.band_idx", "_b.band_sig")
+    banded = band_frame(reps, num_hashes=num_hashes, bands=bands)
     # residual hot-bucket cap: one window count on the band key, then prune.
     # The explicit core-count repartition doubles as the window's exchange
     # AND the self-join's co-partitioning (both sides keep hash(band keys)),

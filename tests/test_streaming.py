@@ -51,3 +51,67 @@ def test_streaming_incremental_ingest(spark, dictionary_df, dictionary_pdf, dirs
     # lineage recorded per micro-batch
     lin = spark.read.parquet(os.path.join(out, "lineage"))
     assert lin.filter("status = 'done'").count() >= 2
+
+
+def test_dedup_batch_incremental(spark, tmp_path):
+    """Incremental dedup-at-ingest: batch 2 docs that near-duplicate batch 1
+    acceptances are rejected via the persisted band index; replays are
+    idempotent; in-batch dups resolved first."""
+    out = str(tmp_path / "dedup")
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b1 = spark.createDataFrame(
+        [(1, base, "s1"),
+         (2, base, "s1"),                                   # in-batch exact dup of 1
+         (3, "completely different text about spark partitions and shuffles", "s1")],
+        streaming.DOCUMENTS_SCHEMA,
+    )
+    c1 = streaming.dedup_batch(spark, b1, out, threshold=0.7)
+    assert c1 == {"arrived": 3, "in_batch_dups": 1, "index_dups": 0, "accepted": 2}
+
+    b2 = spark.createDataFrame(
+        [(10, base + " extra", "s2"),                       # near-dup of accepted 1
+         (11, "novel content that matches nothing else in the corpus at all", "s2")],
+        streaming.DOCUMENTS_SCHEMA,
+    )
+    c2 = streaming.dedup_batch(spark, b2, out, threshold=0.7)
+    assert c2 == {"arrived": 2, "in_batch_dups": 0, "index_dups": 1, "accepted": 1}
+    accepted = {r["doc_id"] for r in
+                spark.read.parquet(out + "/accepted").collect()}
+    assert accepted == {1, 3, 11}
+
+    # replay of batch 2 (crash-recovery path): same decisions, no growth —
+    # its own rows already in the index must NOT be counted as duplicates
+    c2r = streaming.dedup_batch(spark, b2, out, threshold=0.7)
+    assert c2r["index_dups"] == 1 and c2r["accepted"] == 0
+    assert spark.read.parquet(out + "/accepted").count() == 3
+
+
+def test_stream_dedup_documents_end_to_end(spark, tmp_path):
+    """readStream -> foreachBatch(dedup_batch) drains available files and
+    records lineage."""
+    inp = str(tmp_path / "incoming")
+    out = str(tmp_path / "state")
+    os.makedirs(inp)
+    import pandas as pd
+
+    base = "many moons ago a very repetitive corpus was crawled twice by mistake"
+    pd.DataFrame(
+        {"doc_id": [1, 2],
+         "text": [base, "unique first text with its own words"],
+         "source": ["s1", "s1"]}
+    ).to_parquet(os.path.join(inp, "f1.parquet"))
+    q = streaming.stream_dedup_documents(spark, inp, out)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out + "/accepted").count() == 2
+
+    pd.DataFrame(
+        {"doc_id": [20, 21],
+         "text": [base + " again", "another genuinely novel document body"],
+         "source": ["s2", "s2"]}
+    ).to_parquet(os.path.join(inp, "f2.parquet"))
+    q2 = streaming.stream_dedup_documents(spark, inp, out)
+    q2.awaitTermination(120)
+    accepted = {r["doc_id"] for r in spark.read.parquet(out + "/accepted").collect()}
+    assert accepted == {1, 2, 21}  # 20 rejected as near-dup of 1
+    lin = spark.read.parquet(out + "/lineage")
+    assert lin.filter("status = 'done'").count() >= 2
