@@ -130,12 +130,22 @@ def dedup_batch(
     partial failure re-derives the same accept/reject decisions instead of
     rejecting its own half-written rows as duplicates.
 
+    Index-scan cost: the candidate join + hot-band cap read the band index
+    once per micro-batch.  Amortize with availableNow batching (many files
+    per trigger); at 100 TB keep the index in a table format laid out by
+    band_sig (bucket/Z-order) so the probe join partition-prunes instead of
+    scanning — the parquet emulation here reads it fully, which is the same
+    trade materialize.py documents for the MERGE sink.
+
     Returns counters {"arrived", "in_batch_dups", "index_dups", "accepted"}.
     """
     from pyspark.sql import Window
 
     from .tdp import dedup as dd
 
+    # the batch feeds minhash, banding, the verify side, and three counts —
+    # micro-batches are small by definition, so pin them in memory
+    batch_df = batch_df.persist()
     arrived = batch_df.count()
     # 1. in-batch dedup: smaller id wins, exactly like curate_corpus
     pairs = dd.minhash_duplicates(
@@ -207,6 +217,7 @@ def dedup_batch(
         )
 
     # 3. idempotent appends
+    survivors = survivors.persist()
     n_acc = materialize.merge_insert_absent(spark, survivors, accepted_path, [id_col])
     materialize.merge_insert_absent(
         spark,
@@ -215,6 +226,8 @@ def dedup_batch(
         [id_col, "band_idx"],
     )
     n_in_batch = arrived - survivors.count() - n_index_dups
+    survivors.unpersist()
+    batch_df.unpersist()
     return {
         "arrived": arrived,
         "in_batch_dups": n_in_batch,
