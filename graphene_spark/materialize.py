@@ -100,6 +100,8 @@ def write_lineage_row(
     counters: dict[str, int],
     run_id: str,
 ) -> None:
+    import json as _json
+
     row = [
         {
             "bucket": int(bucket),
@@ -111,13 +113,18 @@ def write_lineage_row(
             "n_edges": int(counters.get("n_edges", 0)),
             "n_dangling": int(counters.get("n_dangling", 0)),
             "n_errors": int(counters.get("n_errors", 0)),
+            # full counters verbatim: non-KG writers (e.g. the dedup stream)
+            # carry counter names the fixed columns don't cover — without
+            # this they were silently recorded as all zeros
+            "counters_json": _json.dumps(counters, sort_keys=True),
         }
     ]
     sdf = spark.createDataFrame(
         row,
         schema=(
             "bucket int, status string, run_id string, n_turns long, n_triples long,"
-            " n_nodes long, n_edges long, n_dangling long, n_errors long"
+            " n_nodes long, n_edges long, n_dangling long, n_errors long,"
+            " counters_json string"
         ),
     )
     _append_parquet(sdf, lineage_path)

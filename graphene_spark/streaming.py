@@ -126,26 +126,54 @@ def dedup_batch(
       absent on (doc_id, band_idx)).
 
     Exactly-once under replays: both appends are keyed merges, and the
-    index lookup excludes same-id matches, so a batch re-run after a
-    partial failure re-derives the same accept/reject decisions instead of
-    rejecting its own half-written rows as duplicates.
+    batch's OWN ids are anti-joined out of the index view before anything
+    else — including the hot-band cap counts — so a batch re-run after a
+    partial failure sees the index exactly as the first attempt did and
+    re-derives the same accept/reject decisions (its half-written rows
+    neither match as duplicates nor push a band bucket over the cap).
+    A consequence: a NEW document re-using an already-accepted doc_id is
+    never compared or re-inserted (doc_id is the identity key); it is
+    counted as ``already_present`` rather than silently vanishing.
 
-    Index-scan cost: the candidate join + hot-band cap read the band index
-    once per micro-batch.  Amortize with availableNow batching (many files
-    per trigger); at 100 TB keep the index in a table format laid out by
-    band_sig (bucket/Z-order) so the probe join partition-prunes instead of
-    scanning — the parquet emulation here reads it fully, which is the same
-    trade materialize.py documents for the MERGE sink.
+    The LSH parameters are part of the persisted state: the first batch
+    freezes (ngram_words, num_hashes, bands) into ``_dedup_params.json``
+    and later calls must match, because bands built with different
+    parameters hash different signature slices and would silently match
+    near-nothing.
 
-    Returns counters {"arrived", "in_batch_dups", "index_dups", "accepted"}.
+    Index-scan cost: the index is first semi-joined to the batch's distinct
+    band keys (whole buckets survive, so per-bucket cap counts are
+    unchanged), so the cap window sorts only the touched buckets; at
+    100 TB keep the index laid out by band_sig (bucket/Z-order) so that
+    semi-join partition-prunes instead of scanning — the parquet emulation
+    reads it fully, the same trade materialize.py documents for the MERGE
+    sink.  Amortize per-batch overhead with availableNow batching.
+
+    Returns counters {"arrived", "in_batch_dups", "index_dups",
+    "already_present", "accepted"}.
     """
+    import json
+
     from pyspark.sql import Window
 
     from .tdp import dedup as dd
 
-    # the batch feeds minhash, banding, the verify side, and three counts —
-    # micro-batches are small by definition, so pin them in memory
-    batch_df = batch_df.persist()
+    params = {"ngram_words": ngram_words, "num_hashes": num_hashes, "bands": bands}
+    params_path = os.path.join(out_dir, "_dedup_params.json")
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            stored = json.load(f)
+        if stored != params:
+            raise ValueError(
+                f"dedup_batch params {params} do not match the persisted index's "
+                f"{stored} ({params_path}) — bands from different parameters hash "
+                "different signature slices and would silently match nothing"
+            )
+
+    # one row per doc id (first wins): the corpus is keyed on doc_id, so
+    # same-id re-deliveries within a batch are not distinct documents and
+    # would otherwise skew every counter
+    batch_df = batch_df.dropDuplicates([id_col]).persist()
     arrived = batch_df.count()
     # 1. in-batch dedup: smaller id wins, exactly like curate_corpus
     pairs = dd.minhash_duplicates(
@@ -158,18 +186,34 @@ def dedup_batch(
     )
     survivors = batch_df.join(losers, id_col, "left_anti")
 
-    # 2. band the surviving batch docs
+    # 2. band the surviving batch docs.  localCheckpoint: banded feeds the
+    # candidate join, the anti-join after verify, and the index merge —
+    # without it the signature UDF re-runs per consumer (dd._materialize
+    # docstring: Catalyst does not reuse exchanges with Python-UDF children)
     sig = dd.signature_frame(
         survivors, id_col, text_col, ngram_words=ngram_words, num_hashes=num_hashes
     )
-    banded = dd.band_frame(sig, num_hashes=num_hashes, bands=bands)
+    banded = dd._materialize(dd.band_frame(sig, num_hashes=num_hashes, bands=bands))
 
     index_path = os.path.join(out_dir, "band_index")
     accepted_path = os.path.join(out_dir, "accepted")
-    index_dup_ids = None
     n_index_dups = 0
     if os.path.exists(index_path):
-        idx = materialize.read_merged(spark, index_path)
+        batch_ids = banded.select(F.col("_id").alias(id_col)).distinct()
+        idx = (
+            materialize.read_merged(spark, index_path)
+            # replay safety FIRST: the batch's own (possibly half-written)
+            # rows must be invisible to both the cap counts and the match
+            .join(batch_ids, id_col, "left_anti")
+            # touched buckets only: whole buckets survive the semi-join, so
+            # the cap semantics are identical but the window sorts a
+            # batch-sized slice of the index, not all of it
+            .join(
+                banded.select("band_idx", "band_sig").distinct(),
+                ["band_idx", "band_sig"],
+                "left_semi",
+            )
+        )
         # residual hot-band cap on the INDEX side (same rationale as
         # minhash_duplicates: one degenerate band value over the full
         # history must not go quadratic against every future batch)
@@ -182,7 +226,6 @@ def dedup_batch(
                 idx.withColumnsRenamed({id_col: "old_id", "_sig": "old_sig"}),
                 ["band_idx", "band_sig"],
             )
-            .filter(F.col("new_id") != F.col("old_id"))  # replay safety
             .dropDuplicates(["new_id", "old_id"])
         )
         est = F.size(
@@ -209,7 +252,9 @@ def dedup_batch(
             .join(old_sh, "old_id")
             .filter(dd.jaccard(F.col("new_sh"), F.col("old_sh")) >= threshold)
         )
-        index_dup_ids = verified.select(F.col("new_id").alias(id_col)).distinct()
+        index_dup_ids = verified.select(
+            F.col("new_id").alias(id_col)
+        ).distinct().persist()
         n_index_dups = index_dup_ids.count()
         survivors = survivors.join(index_dup_ids, id_col, "left_anti")
         banded = banded.join(
@@ -218,6 +263,7 @@ def dedup_batch(
 
     # 3. idempotent appends
     survivors = survivors.persist()
+    n_survive = survivors.count()
     n_acc = materialize.merge_insert_absent(spark, survivors, accepted_path, [id_col])
     materialize.merge_insert_absent(
         spark,
@@ -225,13 +271,19 @@ def dedup_batch(
         index_path,
         [id_col, "band_idx"],
     )
-    n_in_batch = arrived - survivors.count() - n_index_dups
+    if not os.path.exists(params_path):
+        with open(params_path, "w") as f:
+            json.dump(params, f, sort_keys=True)
+    n_in_batch = arrived - n_survive - n_index_dups
     survivors.unpersist()
     batch_df.unpersist()
     return {
         "arrived": arrived,
         "in_batch_dups": n_in_batch,
         "index_dups": n_index_dups,
+        # survivors already in the corpus under the same id: replayed rows
+        # and id collisions — deliberately not re-inserted, but visible
+        "already_present": n_survive - n_acc,
         "accepted": n_acc,
     }
 

@@ -336,7 +336,6 @@ def minhash_duplicates(
       a broadcast/AQE-small join against a narrow recomputed shingle
       projection instead of a corpus-wide shuffle.
     """
-    rows = num_hashes // bands
     docs = _ensure_parallelism(docs)
     docs_narrow = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     shingles = docs_narrow.select(

@@ -66,7 +66,8 @@ def test_dedup_batch_incremental(spark, tmp_path):
         streaming.DOCUMENTS_SCHEMA,
     )
     c1 = streaming.dedup_batch(spark, b1, out, threshold=0.7)
-    assert c1 == {"arrived": 3, "in_batch_dups": 1, "index_dups": 0, "accepted": 2}
+    assert c1 == {"arrived": 3, "in_batch_dups": 1, "index_dups": 0,
+                  "already_present": 0, "accepted": 2}
 
     b2 = spark.createDataFrame(
         [(10, base + " extra", "s2"),                       # near-dup of accepted 1
@@ -74,7 +75,8 @@ def test_dedup_batch_incremental(spark, tmp_path):
         streaming.DOCUMENTS_SCHEMA,
     )
     c2 = streaming.dedup_batch(spark, b2, out, threshold=0.7)
-    assert c2 == {"arrived": 2, "in_batch_dups": 0, "index_dups": 1, "accepted": 1}
+    assert c2 == {"arrived": 2, "in_batch_dups": 0, "index_dups": 1,
+                  "already_present": 0, "accepted": 1}
     accepted = {r["doc_id"] for r in
                 spark.read.parquet(out + "/accepted").collect()}
     assert accepted == {1, 3, 11}
@@ -83,6 +85,7 @@ def test_dedup_batch_incremental(spark, tmp_path):
     # its own rows already in the index must NOT be counted as duplicates
     c2r = streaming.dedup_batch(spark, b2, out, threshold=0.7)
     assert c2r["index_dups"] == 1 and c2r["accepted"] == 0
+    assert c2r["already_present"] == 1  # doc 11 already in the corpus
     assert spark.read.parquet(out + "/accepted").count() == 3
 
 
@@ -115,3 +118,21 @@ def test_stream_dedup_documents_end_to_end(spark, tmp_path):
     assert accepted == {1, 2, 21}  # 20 rejected as near-dup of 1
     lin = spark.read.parquet(out + "/lineage")
     assert lin.filter("status = 'done'").count() >= 2
+
+
+def test_dedup_batch_rejects_param_mismatch(spark, tmp_path):
+    """LSH parameters are frozen with the persisted index: bands built with
+    different parameters hash different signature slices and would silently
+    match nothing, so a mismatch must raise."""
+    out = str(tmp_path / "dedup")
+    b1 = spark.createDataFrame(
+        [(1, "some text goes right here for the first batch", "s1")],
+        streaming.DOCUMENTS_SCHEMA,
+    )
+    streaming.dedup_batch(spark, b1, out)
+    b2 = spark.createDataFrame(
+        [(2, "and a second batch arrives with different settings", "s2")],
+        streaming.DOCUMENTS_SCHEMA,
+    )
+    with pytest.raises(ValueError, match="do not match the persisted index"):
+        streaming.dedup_batch(spark, b2, out, bands=16)
