@@ -111,8 +111,13 @@ def canonical_entities(dictionary: DataFrame, synonym_pairs: DataFrame | None = 
         dictionary.select("entity_id", F.explode("aliases").alias("alias"))
         .withColumn(
             "alias_norm",
-            F.trim(F.regexp_replace(F.lower(F.col("alias")), r"[\s_\-]+", " ")),
+            F.trim(F.regexp_replace(F.lower(F.col("alias")), r"(?U)[\s_\-]+", " ")),
         )
+        # aliases that normalize to '' ('-', '_', whitespace) carry no
+        # identity: without this filter every entity holding one would merge
+        # into a single component (rules.build_gazetteer_regex applies the
+        # same guard to the matcher side)
+        .filter(F.col("alias_norm") != "")
     )
     # entities sharing an alias -> edge between entity ids via min-entity per alias
     per_alias = am.groupBy("alias_norm").agg(F.min("entity_id").alias("rep"))

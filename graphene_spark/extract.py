@@ -31,15 +31,17 @@ from . import rules
 # --- executor-side gazetteer cache ------------------------------------------
 # The alias list is shipped once per task via closure capture (Spark broadcasts
 # task binaries); the compiled automaton is cached per executor process.
-_GAZ_CACHE: dict[int, object] = {}
+_GAZ_CACHE: dict[tuple[str, ...], object] = {}
 
 
 def _gaz_for(aliases: tuple[str, ...]):
-    key = hash(aliases)
-    gaz = _GAZ_CACHE.get(key)
+    # keyed by the tuple itself, NOT hash(aliases): pre-hashing bypasses the
+    # dict's equality check, so a hash collision between two different alias
+    # tuples would silently return the wrong compiled gazetteer
+    gaz = _GAZ_CACHE.get(aliases)
     if gaz is None:
         gaz = rules.build_gazetteer_regex(list(aliases))
-        _GAZ_CACHE[key] = gaz
+        _GAZ_CACHE[aliases] = gaz
     return gaz
 
 
@@ -80,6 +82,43 @@ EXTRACT_ROWS_SCHEMA = (
 )
 
 
+def _extract_batch(conv_in, turn_in, text_in, gaz):
+    """Shared per-row emit loop of extract_rows / extract_rows_arrow —
+    returns the ten flat output lists.  ONE definition so the pandas and
+    Arrow paths cannot silently diverge (their row-for-row parity is
+    pinned by tests/test_extract.py)."""
+    conv_o, turn_o, kind_o = [], [], []
+    subj_o, pred_o, obj_o, surf_o = [], [], [], []
+    nm_o, nt_o, err_o = [], [], []
+
+    def emit(conv, turn, kind, subj=None, pred=None, obj=None,
+             surface=None, nm=0, nt=0, err=0):
+        conv_o.append(conv); turn_o.append(turn); kind_o.append(kind)
+        subj_o.append(subj); pred_o.append(pred); obj_o.append(obj)
+        surf_o.append(surface); nm_o.append(nm); nt_o.append(nt)
+        err_o.append(err)
+
+    for conv, turn, text in zip(conv_in, turn_in, text_in):
+        try:
+            # inside the try: a NULL turn_idx arrives as NaN (pandas) or
+            # None (Arrow to_pylist) and int() raises — a bad row must
+            # become a metric, never a job failure
+            turn = int(turn)
+            if text is None or text == "" or "\x00" in text:
+                emit(conv, turn, "turn", err=1)
+                continue
+            mentions, triples = rules.extract_turn(text, gaz)
+            emit(conv, turn, "turn", nm=len(mentions), nt=len(triples))
+            for m in mentions:
+                emit(conv, turn, "mention", surface=m)
+            for t in triples:
+                emit(conv, turn, "triple", subj=t.subj, pred=t.pred, obj=t.obj)
+        except Exception:  # noqa: BLE001 — skip bad rows with a metric
+            emit(conv, turn if isinstance(turn, int) else -1, "turn", err=1)
+
+    return (conv_o, turn_o, kind_o, subj_o, pred_o, obj_o, surf_o, nm_o, nt_o, err_o)
+
+
 def extract_rows(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
     """Single-pass extraction via mapInPandas with a flat output schema.
 
@@ -93,32 +132,10 @@ def extract_rows(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
 
         gaz = _gaz_for(alias_tuple)
         for pdf in batches:
-            conv_o, turn_o, kind_o = [], [], []
-            subj_o, pred_o, obj_o, surf_o = [], [], [], []
-            nm_o, nt_o, err_o = [], [], []
-
-            def emit(conv, turn, kind, subj=None, pred=None, obj=None,
-                     surface=None, nm=0, nt=0, err=0):
-                conv_o.append(conv); turn_o.append(turn); kind_o.append(kind)
-                subj_o.append(subj); pred_o.append(pred); obj_o.append(obj)
-                surf_o.append(surface); nm_o.append(nm); nt_o.append(nt)
-                err_o.append(err)
-
-            for conv, turn, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
-                turn = int(turn)
-                try:
-                    if text is None or text == "" or "\x00" in text:
-                        emit(conv, turn, "turn", err=1)
-                        continue
-                    mentions, triples = rules.extract_turn(text, gaz)
-                    emit(conv, turn, "turn", nm=len(mentions), nt=len(triples))
-                    for m in mentions:
-                        emit(conv, turn, "mention", surface=m)
-                    for t in triples:
-                        emit(conv, turn, "triple", subj=t.subj, pred=t.pred, obj=t.obj)
-                except Exception:  # noqa: BLE001 — skip bad rows with a metric
-                    emit(conv, turn, "turn", err=1)
-
+            (conv_o, turn_o, kind_o, subj_o, pred_o, obj_o,
+             surf_o, nm_o, nt_o, err_o) = _extract_batch(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], gaz
+            )
             yield pd.DataFrame(
                 {
                     "conv_id": conv_o, "turn_idx": turn_o, "kind": kind_o,
@@ -144,7 +161,7 @@ def mentions_from_rows(rows: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
         "surface",
-        F.trim(F.regexp_replace(F.lower(F.col("surface")), r"[\s_\-]+", " ")).alias("norm"),
+        F.trim(F.regexp_replace(F.lower(F.col("surface")), r"(?U)[\s_\-]+", " ")).alias("norm"),
     )
 
 
@@ -193,32 +210,8 @@ def extract_rows_arrow(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
             conv_in = rb.column(names.index("conv_id")).to_pylist()
             turn_in = rb.column(names.index("turn_idx")).to_pylist()
             text_in = rb.column(names.index("text")).to_pylist()
-            conv_o, turn_o, kind_o = [], [], []
-            subj_o, pred_o, obj_o, surf_o = [], [], [], []
-            nm_o, nt_o, err_o = [], [], []
-
-            def emit(conv, turn, kind, subj=None, pred=None, obj=None,
-                     surface=None, nm=0, nt=0, err=0):
-                conv_o.append(conv); turn_o.append(turn); kind_o.append(kind)
-                subj_o.append(subj); pred_o.append(pred); obj_o.append(obj)
-                surf_o.append(surface); nm_o.append(nm); nt_o.append(nt)
-                err_o.append(err)
-
-            for conv, turn, text in zip(conv_in, turn_in, text_in):
-                turn = int(turn)
-                try:
-                    if text is None or text == "" or "\x00" in text:
-                        emit(conv, turn, "turn", err=1)
-                        continue
-                    mentions, triples = rules.extract_turn(text, gaz)
-                    emit(conv, turn, "turn", nm=len(mentions), nt=len(triples))
-                    for m in mentions:
-                        emit(conv, turn, "mention", surface=m)
-                    for t in triples:
-                        emit(conv, turn, "triple", subj=t.subj, pred=t.pred, obj=t.obj)
-                except Exception:  # noqa: BLE001 — skip bad rows with a metric
-                    emit(conv, turn, "turn", err=1)
-
+            (conv_o, turn_o, kind_o, subj_o, pred_o, obj_o,
+             surf_o, nm_o, nt_o, err_o) = _extract_batch(conv_in, turn_in, text_in, gaz)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(conv_o, pa.string()), pa.array(turn_o, pa.int32()),
@@ -252,19 +245,22 @@ def extract_rows_arrow(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
 # variant remains as a dependency-free fallback and a second implementation
 # that cross-checks the grammar.
 
-_NATIVE_ONTO = r"([a-z_]+) ([A-Z][A-Z0-9]{1,9}):0*(\d+) ! ([^.;|\n]*)"
+# \b anchors mirror the frozen rules patterns exactly (Java regex supports
+# \b): without them a word-prefixed keyword ('Xis_a GO:1 ! y', 'Pxref A:v')
+# matched in the native path only, breaking pandas<->native parity
+_NATIVE_ONTO = r"\b([a-z_]+) ([A-Z][A-Z0-9]{1,9}):0*(\d+) ! ([^.;|\n]*)"
 # mirrors rules.XREF_PATTERN (Java dialect): value stops before ' (' and
 # before a following keyword — keep the two in lockstep (parity test)
 _NATIVE_XREF = (
-    r"xref ([A-Za-z][A-Za-z0-9_]*):"
+    r"\bxref ([A-Za-z][A-Za-z0-9_]*):"
     r"((?:(?!\s\()(?!\s(?:xref|has_rank|synonym:)\s)[^.;,\n])+)"
 )
-_NATIVE_RANK = r"has_rank NCBITaxon:(\w+)"
-_NATIVE_SYN = r"synonym: ([^.;|\n]+)"
+_NATIVE_RANK = r"\bhas_rank NCBITaxon:(\w+)\b"
+_NATIVE_SYN = r"\bsynonym: ([^.;|\n]+)"
 
 
 def _native_norm(col):
-    return F.trim(F.regexp_replace(F.lower(col), r"[\s_\-]+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), r"(?U)[\s_\-]+", " "))
 
 
 def _native_gazetteer_pattern(aliases: list[str]) -> str:
@@ -277,7 +273,7 @@ def _native_gazetteer_pattern(aliases: list[str]) -> str:
         key=len,
         reverse=True,
     )
-    parts = [r"[\s_\-]+".join(_re.escape(t) for t in n.split(" ")) for n in norms]
+    parts = [r"(?U)[\s_\-]+".join(_re.escape(t) for t in n.split(" ")) for n in norms]
     if not parts:
         parts = [r"(?!x)x"]
     return r"(?i)(?<![A-Za-z0-9])(" + "|".join(parts) + r")(?![A-Za-z0-9])"

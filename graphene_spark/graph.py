@@ -40,17 +40,35 @@ def build_nodes(candidates: DataFrame) -> DataFrame:
     Uniqueness of name within primary label mirrors the reference's unique
     constraint (Importer.groovy:61-66).
     """
-    per_name = candidates.groupBy("name").agg(
+    # canonical rendering of the props map: the secondary sort key below.
+    # Candidates sharing (name, seq) but carrying DIFFERENT props would
+    # otherwise merge in collect_list order — partition-dependent, breaking
+    # the determinism the deterministic node ids promise for resumable
+    # re-runs.  Ties on (seq, _pkey) have identical props, so their order
+    # is irrelevant.
+    pkey = F.concat_ws(
+        "\x1e",
+        F.array_sort(
+            F.transform(
+                F.map_entries(F.col("props")),
+                lambda e: F.concat_ws("\x1f", e["key"], e["value"]),
+            )
+        ),
+    )
+    per_name = candidates.withColumn("_pkey", pkey).groupBy("name").agg(
         F.array_sort(F.collect_set("label")).alias("labels"),
-        # fold props in seq order; map_concat-with-override = last writer wins
+        # fold props in (seq, _pkey) order; map_concat-with-override = last
+        # writer wins
         F.aggregate(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("seq", "props")),
-                    # comparator on seq only: struct contains a map, which is
-                    # not naturally orderable
+                    F.collect_list(F.struct("seq", "_pkey", "props")),
+                    # explicit comparator: the struct contains a map, which
+                    # is not naturally orderable
                     lambda l, r: F.when(l["seq"] < r["seq"], -1)
                     .when(l["seq"] > r["seq"], 1)
+                    .when(l["_pkey"] < r["_pkey"], -1)
+                    .when(l["_pkey"] > r["_pkey"], 1)
                     .otherwise(0),
                 ),
                 lambda s: s["props"],

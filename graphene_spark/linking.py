@@ -41,8 +41,12 @@ def alias_map(dictionary: DataFrame) -> DataFrame:
         )
         .withColumn(
             "alias_norm",
-            F.trim(F.regexp_replace(F.lower(F.col("alias")), r"[\s_\-]+", " ")),
+            F.trim(F.regexp_replace(F.lower(F.col("alias")), r"(?U)[\s_\-]+", " ")),
         )
+        # identity-free aliases ('-', '_', whitespace-only) must not become
+        # a join key: a mention can never normalize to '' (the gazetteer
+        # filters such aliases), so an '' row would only ever mislink
+        .filter(F.col("alias_norm") != "")
         .groupBy("alias_norm")
         .agg(
             F.min(F.struct("entity_id", "canonical_name", "entity_type", "is_hot")).alias("e")
@@ -152,7 +156,7 @@ def link_triples(
     )
     dangling = no_subj.unionByName(unresolved)
 
-    triples = (
+    triples = dedup_triples(
         linked.select(
             F.col("canonical_name").alias("subj"),
             "pred",
@@ -160,11 +164,22 @@ def link_triples(
             "conv_id",
             "turn_idx",
         )
-        # first occurrence in stable order wins (oracle walk order)
-        .groupBy("subj", "pred", "obj")
-        .agg(
-            F.min(F.struct("conv_id", "turn_idx")).alias("prov"),
-        )
-        .select("subj", "pred", "obj", F.col("prov.conv_id").alias("conv_id"), F.col("prov.turn_idx").alias("turn_idx"))
     )
     return triples, dangling
+
+
+def dedup_triples(triples: DataFrame) -> DataFrame:
+    """(subj, pred, obj) dedup with first-provenance-wins: keep the minimum
+    (conv_id, turn_idx) per triple — the oracle walk order.  The single
+    definition all three dedup sites share (here + the two fuzzy-recovery
+    merges in pipeline.py), so provenance ordering cannot silently diverge
+    between them."""
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.min(F.struct("conv_id", "turn_idx")).alias("prov"))
+        .select(
+            "subj", "pred", "obj",
+            F.col("prov.conv_id").alias("conv_id"),
+            F.col("prov.turn_idx").alias("turn_idx"),
+        )
+    )

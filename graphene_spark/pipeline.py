@@ -96,13 +96,24 @@ def run_pipeline(
 
     if fuzzy_threshold is not None:
         # second-chance LSH linking for exact-miss mentions and triple
-        # subjects (MinHash blocking + Jaccard verify, north_star)
+        # subjects (MinHash blocking + Jaccard verify, north_star).  ONE
+        # fuzzy pass over the union of unmatched norms: building the
+        # dictionary band table (shingle + minhash + band-explode over every
+        # alias) twice was pure duplicated compute; best-match-per-norm over
+        # the union equals the two per-set results exactly.
         from . import blocking
 
         etypes = dictionary.select("entity_id", "entity_type")
-        recovered = blocking.fuzzy_link_unmatched(
-            unlinked, dictionary, threshold=fuzzy_threshold
-        ).join(F.broadcast(etypes), "entity_id")
+        dang_subj = dangling.filter(F.col("subj").isNotNull())
+        all_norms = (
+            unlinked.select("norm")
+            .unionByName(dang_subj.select(F.col("subj").alias("norm")))
+            .distinct()
+        )
+        matches = blocking.fuzzy_link_unmatched(
+            all_norms, dictionary, threshold=fuzzy_threshold
+        ).select("norm", "entity_id", "canonical_name")
+        recovered = unlinked.join(matches, "norm").join(F.broadcast(etypes), "entity_id")
         linked_mentions = linked_mentions.unionByName(
             recovered.select(*linked_mentions.columns)
         )
@@ -112,32 +123,13 @@ def run_pipeline(
             "left_anti",
         )
         # dangling triples whose subject fuzzy-resolves get recovered too
-        dang_subj = dangling.filter(F.col("subj").isNotNull())
-        rec_t = blocking.fuzzy_link_unmatched(
-            dang_subj.withColumnRenamed("subj", "norm"), dictionary, threshold=fuzzy_threshold
-        )
-        recovered_triples = (
+        rec_t = dang_subj.withColumnRenamed("subj", "norm").join(matches, "norm")
+        recovered_triples = linking.dedup_triples(
             rec_t.select(
                 F.col("canonical_name").alias("subj"), "pred", "obj", "conv_id", "turn_idx"
             )
-            .groupBy("subj", "pred", "obj")
-            .agg(F.min(F.struct("conv_id", "turn_idx")).alias("prov"))
-            .select(
-                "subj", "pred", "obj",
-                F.col("prov.conv_id").alias("conv_id"),
-                F.col("prov.turn_idx").alias("turn_idx"),
-            )
         )
-        triples = (
-            triples.unionByName(recovered_triples)
-            .groupBy("subj", "pred", "obj")
-            .agg(F.min(F.struct("conv_id", "turn_idx")).alias("prov"))
-            .select(
-                "subj", "pred", "obj",
-                F.col("prov.conv_id").alias("conv_id"),
-                F.col("prov.turn_idx").alias("turn_idx"),
-            )
-        )
+        triples = linking.dedup_triples(triples.unionByName(recovered_triples))
         dangling = dang_subj.join(
             rec_t.select("conv_id", "turn_idx", "pred", "obj"),
             ["conv_id", "turn_idx", "pred", "obj"],

@@ -151,3 +151,38 @@ def test_arrow_extraction_parity(spark, transcripts_pdf, dictionary_pdf):
     a = sig(extract.extract_rows_arrow(tdf, aliases))
     b = sig(extract.extract_rows(tdf, aliases))
     assert (a["h"], a["n"]) == (b["h"], b["n"])
+
+
+def test_null_turn_idx_is_metric_not_crash(spark, dictionary_pdf):
+    """A NULL turn_idx must become an error-metric row (contract: bad rows
+    are skipped with a metric, never a job failure) — int(NaN/None) raised
+    before the try block in both extraction paths."""
+    from graphene_spark import pipeline
+
+    tdf = spark.createDataFrame(
+        [("c1", 1, "user", "Ent 00001 is_a GO:0000001 ! thing", None, None),
+         ("c1", None, "user", "Ent 00002 here", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    aliases = pipeline.all_aliases(dictionary_pdf)
+    for fn in (extract.extract_rows, extract.extract_rows_arrow):
+        rows = fn(tdf, aliases)
+        errs = rows.filter("kind = 'turn' and is_error = 1").collect()
+        assert len(errs) == 1 and errs[0]["turn_idx"] == -1
+        assert rows.filter("kind = 'triple'").count() == 1
+
+
+def test_native_word_boundary_parity():
+    """Word-prefixed keywords must NOT match: the native Java patterns carry
+    the same \\b anchors as the frozen rules patterns."""
+    import re
+
+    # direct pattern checks (Java and Python dialects agree on \b here)
+    assert re.search(extract._NATIVE_ONTO, "word is_a GO:0001 ! y")
+    assert not re.search(extract._NATIVE_ONTO, "Xis_a GO:0001 ! y")
+    assert re.search(extract._NATIVE_XREF, "has xref GO:12.")
+    assert not re.search(extract._NATIVE_XREF, "Pxref GO:12.")
+    assert re.search(extract._NATIVE_RANK, "so has_rank NCBITaxon:species here")
+    assert not re.search(extract._NATIVE_RANK, "Xhas_rank NCBITaxon:species")
+    assert re.search(extract._NATIVE_SYN, "a synonym: foo.")
+    assert not re.search(extract._NATIVE_SYN, "Xsynonym: foo.")

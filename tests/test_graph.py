@@ -93,3 +93,20 @@ def test_canonical_entities_shared_alias(spark):
     got = {r["entity_id"]: r["canonical_id"] for r in canonicalize.canonical_entities(d).collect()}
     assert got[10] == got[20] == 10
     assert got[30] == 30
+
+
+def test_canonicalize_ignores_identity_free_aliases(spark):
+    """Aliases normalizing to '' ('-', '_', whitespace) must not merge
+    unrelated entities into one component."""
+    from graphene_spark import canonicalize
+
+    dic = spark.createDataFrame(
+        [(1, "Aspirin", ["aspirin", "-"], "Drug", False),
+         (2, "Zinc", ["zinc", "_"], "Element", False),
+         (3, "Iron", ["iron", "  "], "Element", False)],
+        "entity_id long, canonical_name string, aliases array<string>, "
+        "entity_type string, is_hot boolean",
+    )
+    out = {r["entity_id"]: r["canonical_id"]
+           for r in canonicalize.canonical_entities(dic).collect()}
+    assert out == {1: 1, 2: 2, 3: 3}
