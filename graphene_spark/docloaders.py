@@ -29,6 +29,28 @@ from pyspark.sql import DataFrame
 
 from .graph import adjacency_edges
 
+
+def _union_nodes_first_wins(*frames: DataFrame) -> DataFrame:
+    """Union node frames keeping ONE row per name with the EARLIEST frame
+    winning.  Callers pass real term/entity nodes before bare Name/XRef/
+    Region value nodes, so a value node whose string collides with a term
+    name (homotypic synonyms are common) can never replace the term's
+    labels/props — a plain dropDuplicates keeps an arbitrary,
+    partition-dependent row."""
+    from pyspark.sql import Window
+
+    tagged = [df.withColumn("_prio", F.lit(i)) for i, df in enumerate(frames)]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    w = Window.partitionBy("name").orderBy("_prio")
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )
+
+
 # OntologyLoader.groovy:16 — predicate + namespaced id + label
 _REL_RE = r"([a-z_]+) ([A-Z][A-Z0-9]{1,9}):0*(\d+) ! (.*)"
 # GrameneMongoLoader.groovy:51-55
@@ -101,7 +123,10 @@ def load_ontology(docs: DataFrame, path: str) -> dict[str, DataFrame]:
     xr = (
         live.select(term_name.alias("src_name"), F.explode(F.coalesce("xref", F.array().cast("array<string>"))).alias("x"))
         .withColumn("key", F.split("x", ":", 2).getItem(0))
-        .withColumn("val", F.split("x", ":", 2).getItem(1))
+        # F.get, not getItem: a colon-less xref yields a 1-element split and
+        # getItem(1) THROWS under ANSI mode — the isNotNull filter below is
+        # the intended null-tolerant semantics
+        .withColumn("val", F.get(F.split("x", ":", 2), 1))
         .filter(~F.col("key").isin(XREF_DROP_KEYS) & F.col("val").isNotNull())
         .withColumn(
             "val",
@@ -126,11 +151,13 @@ def load_ontology(docs: DataFrame, path: str) -> dict[str, DataFrame]:
         live.select(term_name.alias("src_name"), F.explode(F.coalesce("relationship", F.array().cast("array<string>"))).alias("r"))
         .withColumn("pred", F.upper(F.regexp_extract("r", _REL_RE, 1)))
         .withColumn("ns", F.regexp_extract("r", _REL_RE, 2))
-        .withColumn("oid", F.regexp_extract("r", _REL_RE, 3))
-        .filter(F.col("pred") != "")
+        # try_cast: a >19-digit ordinal would make a plain cast THROW under
+        # ANSI mode; non-coercible ordinals drop like any other non-match
+        .withColumn("oid", F.regexp_extract("r", _REL_RE, 3).try_cast("long"))
+        .filter((F.col("pred") != "") & F.col("oid").isNotNull())
         .select(
             "src_name",
-            F.format_string("%s:%d", F.col("ns"), F.col("oid").cast("long")).alias("dst_name"),
+            F.format_string("%s:%d", F.col("ns"), F.col("oid")).alias("dst_name"),
             F.col("pred").alias("rel_type"),
         )
     )
@@ -139,7 +166,7 @@ def load_ontology(docs: DataFrame, path: str) -> dict[str, DataFrame]:
         "props", F.create_map().cast("map<string,string>")
     )
     return {
-        "nodes": nodes.unionByName(name_nodes).unionByName(xref_nodes).dropDuplicates(["name"]),
+        "nodes": _union_nodes_first_wins(nodes, name_nodes, xref_nodes),
         "edge_candidates": edge_candidates,
     }
 
@@ -199,7 +226,7 @@ def load_genes(genes: DataFrame, taxon_index: DataFrame | None = None) -> dict[s
 
     out_edges = chains if species_edges is None else species_edges.unionByName(chains)
     return {
-        "nodes": nodes.unionByName(region_nodes).dropDuplicates(["name"]),
+        "nodes": _union_nodes_first_wins(nodes, region_nodes),
         "edge_candidates": out_edges,
     }
 
@@ -281,7 +308,7 @@ def load_taxonomy(docs: DataFrame) -> dict[str, DataFrame]:
     ).dropDuplicates(["name"])
 
     return {
-        "nodes": nodes.unionByName(name_nodes).dropDuplicates(["name"]),
+        "nodes": _union_nodes_first_wins(nodes, name_nodes),
         "edge_candidates": resolved.unionByName(synonyms).withColumn(
             "props", F.create_map().cast("map<string,string>")
         ),
@@ -347,7 +374,7 @@ def load_domains(docs: DataFrame) -> dict[str, DataFrame]:
     )
     signature_types = desc.select(F.lower("dkey").alias("sig_type")).distinct()
     return {
-        "nodes": interpro_nodes.unionByName(sig_nodes).dropDuplicates(["name"]),
+        "nodes": _union_nodes_first_wins(interpro_nodes, sig_nodes),
         "edge_candidates": edges,
         "signature_types": signature_types,
     }
@@ -378,11 +405,14 @@ def load_gene_ontology_xrefs(
     return (
         genes.select(F.col("_id").alias("src_name"), F.explode(evidence_col).alias("onto", "accs"))
         .select("src_name", "onto", F.explode("accs").alias("acc_ev"))
-        .withColumn("acc", F.split("acc_ev", ":", 2).getItem(0))
-        .withColumn("evidence", F.split("acc_ev", ":", 2).getItem(1))
+        # F.get + try_cast: an evidence-less or non-numeric accession must
+        # become a null/dropped row, not an ANSI-mode job failure
+        .withColumn("acc", F.split("acc_ev", ":", 2).getItem(0).try_cast("long"))
+        .withColumn("evidence", F.get(F.split("acc_ev", ":", 2), 1))
+        .filter(F.col("acc").isNotNull())
         .select(
             "src_name",
-            F.format_string("%s:%d", F.col("onto"), F.col("acc").cast("long")).alias("dst_name"),
+            F.format_string("%s:%d", F.col("onto"), F.col("acc")).alias("dst_name"),
             F.upper(F.col("onto")).alias("rel_type"),
             F.map_filter(
                 F.map_from_arrays(F.array(F.lit("evidence")), F.array(F.col("evidence"))),

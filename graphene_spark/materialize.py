@@ -50,9 +50,15 @@ def merge_insert_absent(
     batch touches (partition pruning) instead of the whole table — the
     parquet emulation of Iceberg's MERGE INTO on a bucket-partitioned table.
     Without this, a B-bucket resumable run costs O(B^2) table scans."""
-    incoming = df.dropDuplicates(keys).withColumn(
-        "_kb", F.pmod(F.xxhash64(*keys), F.lit(key_buckets)).cast("int")
+    # persist: three actions follow (touched-bucket collect, count, write) —
+    # without it the incoming frame's full upstream pipeline re-executes per
+    # action, tripling the cost of every merge on the hot path
+    base = (
+        df.dropDuplicates(keys)
+        .withColumn("_kb", F.pmod(F.xxhash64(*keys), F.lit(key_buckets)).cast("int"))
+        .persist()
     )
+    incoming = base
     if os.path.exists(path):
         touched = [r["_kb"] for r in incoming.select("_kb").distinct().collect()]
         existing = (
@@ -60,10 +66,22 @@ def merge_insert_absent(
             .filter(F.col("_kb").isin(touched))  # partition-pruned scan
             .select(*keys, "_kb")
         )
-        incoming = incoming.join(existing, [*keys, "_kb"], "left_anti")
+        # null-safe equality: a plain equi-anti-join never matches rows with
+        # a null key value, so such rows were re-inserted on EVERY replay —
+        # dropDuplicates treats nulls as equal, the join must agree with it
+        # for the idempotency contract to hold
+        ex = existing
+        for c in [*keys, "_kb"]:
+            ex = ex.withColumnRenamed(c, f"_ex_{c}")
+        cond = None
+        for c in [*keys, "_kb"]:
+            e = incoming[c].eqNullSafe(ex[f"_ex_{c}"])
+            cond = e if cond is None else cond & e
+        incoming = incoming.join(ex, cond, "left_anti")
     n = incoming.count()
     if n:
         incoming.write.mode("append").partitionBy("_kb").parquet(path)
+    base.unpersist()
     return n
 
 

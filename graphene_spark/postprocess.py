@@ -340,8 +340,13 @@ def collapse_node_to_edge(
     mids = collapsed.select(F.col("mid").alias("node_id")).distinct()
     new_nodes = nodes.join(mids, "node_id", "left_anti")
     mid_ids = mids.select(F.col("node_id").alias("_d"))
+    # delete ONLY edges incident to COLLAPSED mids (the Cypher match deletes
+    # the matched mid and its two edges) — the previous global
+    # rel_type-based filter also dropped sub_rel/obj_rel edges of mids that
+    # never collapsed (only one of the two edges present), silently losing
+    # relationships the rewrite should preserve
     keep_edges = (
-        edges.filter(~F.col("rel_type").isin([sub_rel, obj_rel]))
+        edges
         .join(mid_ids, F.col("src") == F.col("_d"), "left_anti")
         .join(mid_ids, F.col("dst") == F.col("_d"), "left_anti")
     )

@@ -42,8 +42,24 @@ _COLDEF_RE = re.compile(r"^\s*`([^`]+)`")
 _TUPLE_PATTERN = r"\((?:'(?:[^'\\]|\\.)*'|[^'()])*\)"
 
 
+_DDL_CACHE: dict[tuple[str, float], dict[str, list[str]]] = {}
+
+
 def parse_ddl(dump_path: str, encoding: str = "ISO-8859-1") -> dict[str, list[str]]:
-    """{table -> ordered column names} from the dump's CREATE TABLE blocks."""
+    """{table -> ordered column names} from the dump's CREATE TABLE blocks.
+
+    One sequential driver-side pass over the file: mysqldump interleaves
+    each table's CREATE TABLE with its INSERT block, so the DDL cannot be
+    read from a bounded header region.  The parse is memoized per
+    (path, mtime) so N read_table() calls cost ONE pass, not N — at real
+    scale, ship the schema separately (or a .sql header split from the
+    data) so the driver never streams the data file at all."""
+    import os
+
+    key = (os.path.abspath(dump_path), os.path.getmtime(dump_path))
+    hit = _DDL_CACHE.get(key)
+    if hit is not None:
+        return hit
     tables: dict[str, list[str]] = {}
     current: str | None = None
     with open(dump_path, encoding=encoding) as f:
@@ -60,6 +76,7 @@ def parse_ddl(dump_path: str, encoding: str = "ISO-8859-1") -> dict[str, list[st
                 cm = _COLDEF_RE.match(line)
                 if cm:
                     tables[current].append(cm.group(1))
+    _DDL_CACHE[key] = tables
     return tables
 
 

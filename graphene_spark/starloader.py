@@ -304,13 +304,28 @@ def build_star_graph(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
         all_props = prop_adds[0]
         for more in prop_adds[1:]:
             all_props = all_props.unionByName(more)
-        merged = all_props.groupBy("node_id").agg(
+        # canonical props rendering breaks (node_id, seq) ties: two same-seq
+        # decorator tables writing the same prop key would otherwise merge in
+        # collect_list order — partition-dependent, breaking reproducible
+        # node props (same fix as graph.build_nodes)
+        pkey = F.concat_ws(
+            "\x1e",
+            F.array_sort(
+                F.transform(
+                    F.map_entries(F.col("props")),
+                    lambda e: F.concat_ws("\x1f", e["key"], e["value"]),
+                )
+            ),
+        )
+        merged = all_props.withColumn("_pkey", pkey).groupBy("node_id").agg(
             F.aggregate(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("seq", "props")),
+                        F.collect_list(F.struct("seq", "_pkey", "props")),
                         lambda l, r: F.when(l["seq"] < r["seq"], -1)
                         .when(l["seq"] > r["seq"], 1)
+                        .when(l["_pkey"] < r["_pkey"], -1)
+                        .when(l["_pkey"] > r["_pkey"], 1)
                         .otherwise(0),
                     ),
                     lambda s: s["props"],
@@ -341,9 +356,16 @@ def build_star_graph(tables: dict[str, DataFrame]) -> dict[str, DataFrame]:
         )
         nodes = nodes.unionByName(value_nodes)
 
-    edges = edge_parts[0]
-    for more in edge_parts[1:]:
-        edges = edges.unionByName(more)
+    if edge_parts:
+        edges = edge_parts[0]
+        for more in edge_parts[1:]:
+            edges = edges.unionByName(more)
+    else:
+        # a dump with no relationship columns / newnodes is legal: return a
+        # graph with zero edges instead of IndexError on the driver
+        edges = nodes.sparkSession.createDataFrame(
+            [], "src long, dst long, rel_type string, props map<string,string>"
+        )
     # resolve only edges whose endpoints exist; dangling -> metric (J2)
     ids = nodes.select(F.col("node_id").alias("_id"))
     resolved = (

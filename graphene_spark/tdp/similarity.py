@@ -122,6 +122,9 @@ def _centroids(corpus: DataFrame, corpus_id: str, corpus_vec: str, k: int, refin
         .collect()
     )
     cents = [list(r["v"]) for r in seeds]
+    # a corpus smaller than k yields fewer seeds; clamp instead of indexing
+    # past the end in the refine rebuild below
+    k = len(cents)
     if refine:
         assigned = corpus.select(
             F.col(corpus_vec).alias("v"),

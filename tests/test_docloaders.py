@@ -147,3 +147,35 @@ def test_load_domains_and_suppression(spark):
     )
     kept = docloaders.suppress_signature_features(feats, out["signature_types"])
     assert [r["feature_type"] for r in kept.collect()] == ["signal_peptide"]
+
+
+def test_load_ontology_colonless_xref_dropped_not_crash(spark):
+    """A colon-less xref must drop (null value) — getItem(1) on a 1-element
+    split THROWS under ANSI mode."""
+    from graphene_spark import docloaders
+
+    docs = spark.createDataFrame(
+        [(1, "growth", "bp", False, None, ["TAIR", "GO:123"], None, None, None)],
+        "_id long, name string, namespace string, is_obsolete boolean, synonym array<string>, "
+        "xref array<string>, relationship array<string>, property_value string, subset array<string>",
+    )
+    out = docloaders.load_ontology(docs, "GO")
+    xrefs = {r["dst_name"] for r in
+             out["edge_candidates"].filter("rel_type = 'XREF'").collect()}
+    assert xrefs == {"GO:123"}
+
+
+def test_load_ontology_term_beats_name_node_on_collision(spark):
+    """A synonym string equal to another term's name must NOT replace the
+    term node's labels with a bare [Name] node (deterministic priority)."""
+    from graphene_spark import docloaders
+
+    docs = spark.createDataFrame(
+        [(1, "growth", "bp", False, ["GO:2"], None, None, None, None),
+         (2, "dev", "bp", False, None, None, None, None, None)],
+        "_id long, name string, namespace string, is_obsolete boolean, synonym array<string>, "
+        "xref array<string>, relationship array<string>, property_value string, subset array<string>",
+    )
+    out = docloaders.load_ontology(docs, "GO")
+    row = out["nodes"].filter("name = 'GO:2'").collect()
+    assert len(row) == 1 and "Ontology" in row[0]["labels"], row

@@ -187,3 +187,26 @@ def test_metabolite_link(spark):
     assert cnt2 == 4
     got2 = {(r["src"], r["dst"]) for r in out2.collect()}
     assert (13, 21) in got2
+
+
+def test_collapse_preserves_uncollapsed_mid_edges(spark):
+    """A mid node with only ONE of the two pattern edges must keep its node
+    AND its edge — the rewrite deletes only matched mids (Cypher match
+    semantics), not every sub_rel/obj_rel edge globally."""
+    nodes = spark.createDataFrame(
+        [(10, "regA", ["Positive", "Regulation"], {}),
+         (11, "regB", ["Negative", "Regulation"], {})],
+        "node_id long, name string, labels array<string>, props map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [(10, 1, "REGULATOR"), (10, 2, "REGULATED"),   # full diamond: collapses
+         (11, 3, "REGULATOR")],                        # half pattern: must survive
+        "src long, dst long, rel_type string",
+    )
+    nodes2, edges2, n = pp.collapse_node_to_edge(
+        nodes, edges, "REGULATOR", "REGULATED", "REGULATES"
+    )
+    assert n == 1
+    kept = {(r["src"], r["dst"], r["rel_type"]) for r in edges2.collect()}
+    assert (11, 3, "REGULATOR") in kept
+    assert {r["node_id"] for r in nodes2.collect()} == {11}

@@ -143,3 +143,18 @@ def test_build_star_graph_end_to_end(spark, dump_path):
     assert (2, 4, "INPUT") in edges
     n_input = g["edges"].filter("rel_type = 'INPUT'").count()
     assert n_input == 1
+
+
+def test_merge_insert_absent_null_key_idempotent(spark, tmp_path):
+    """Rows with a NULL key value must not be re-inserted on replay — the
+    anti-join must agree with dropDuplicates' null-equality semantics."""
+    from graphene_spark import materialize
+
+    path = str(tmp_path / "merged")
+    df = spark.createDataFrame(
+        [(1, None), (1, "x"), (2, "y")], "src long, obj string"
+    )
+    n1 = materialize.merge_insert_absent(spark, df, path, ["src", "obj"])
+    n2 = materialize.merge_insert_absent(spark, df, path, ["src", "obj"])
+    assert n1 == 3 and n2 == 0
+    assert materialize.read_merged(spark, path).count() == 3

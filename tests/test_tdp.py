@@ -297,3 +297,13 @@ def test_fingerprint_md5_arrow_matches_jvm_on_unicode_whitespace(spark):
     ).collect()
     for r in out:
         assert r["got"] == r["want"], r
+
+
+def test_ivf_topk_corpus_smaller_than_n_lists(spark):
+    """A corpus with fewer rows than n_lists must clamp the centroid count,
+    not IndexError on the driver."""
+    rows = [(i, [float(i + 1), 1.0, 0.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.limit(1).selectExpr("vec_id as query_id", "embedding")
+    out = similarity.ivf_topk(emb, q, k=3, n_lists=8, n_probe=8)
+    assert out.count() == 3
