@@ -27,6 +27,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F  # noqa: E402
 
 
+def collect_aliases(dictionary, max_aliases: int = 2_000_000) -> list:
+    """Collect the entity dictionary's aliases to the driver for the
+    broadcast gazetteer, guarded by an explicit size cap.
+
+    The gazetteer design point is a DICTIONARY-sized broadcast (the alias
+    list is compiled into one regex automaton and shipped to every
+    executor) — it is bounded by the number of known entities, never by
+    corpus size.  A dictionary 100x larger than designed would silently
+    turn this collect into a driver-memory and task-serialization hazard,
+    so the cap fails fast with the design context instead."""
+    n = dictionary.select(F.explode("aliases")).count()
+    if n > max_aliases:
+        raise ValueError(
+            f"entity dictionary has {n:,} aliases, above the "
+            f"{max_aliases:,} broadcast-gazetteer design point. The alias "
+            "list is collected to the driver and compiled into a single "
+            "broadcast automaton; beyond this size, partition the "
+            "dictionary (e.g. by entity_type) and run one linking pass per "
+            "partition, or raise --max-dictionary-aliases explicitly if "
+            "driver memory allows."
+        )
+    return [a for (al,) in dictionary.select("aliases").collect() for a in al]
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description="graphene-spark KG construction job")
     ap.add_argument("--transcripts", required=True,
@@ -43,6 +67,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--postprocess", action="store_true",
                     help="run graph rewrites after materialization (the post-import-cypher phase)")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--max-dictionary-aliases", type=int, default=2_000_000,
+                    help="hard cap on the alias count collected to the driver "
+                         "for the broadcast gazetteer (design-point guard)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -61,9 +88,7 @@ def main(argv: list[str] | None = None) -> None:
         aliases = pipeline.all_aliases(dic_pdf)
     else:
         dictionary = spark.read.parquet(args.dictionary)
-        aliases = [
-            a for (al,) in dictionary.select("aliases").collect() for a in al
-        ]
+        aliases = collect_aliases(dictionary, max_aliases=args.max_dictionary_aliases)
 
     if args.transcripts.startswith("synthetic:"):
         n_turns = int(args.transcripts.split(":", 1)[1])
@@ -104,7 +129,7 @@ def main(argv: list[str] | None = None) -> None:
         spark, transcripts, args.out, process_bucket, n_buckets=args.buckets
     )
 
-    lineage = spark.read.parquet(os.path.join(args.out, "lineage"))
+    lineage = materialize.read_lineage(spark, os.path.join(args.out, "lineage"))
     summary = {
         "buckets": totals,
         "triples": spark.read.parquet(os.path.join(args.out, "triples")).count(),

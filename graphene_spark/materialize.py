@@ -99,7 +99,12 @@ def conv_bucket(col, n_buckets: int):
 def read_lineage(spark: SparkSession, lineage_path: str) -> DataFrame | None:
     if not os.path.exists(lineage_path):
         return None
-    return spark.read.parquet(lineage_path)
+    # mergeSchema: lineage schemas have grown over time (counters_json was
+    # added after the first release); without it Spark resolves the schema
+    # from an arbitrary footer and newer columns can silently disappear on
+    # upgraded tables.  The table is tiny (one row per bucket per run), so
+    # footer merging costs nothing.
+    return spark.read.option("mergeSchema", "true").parquet(lineage_path)
 
 
 def completed_buckets(spark: SparkSession, lineage_path: str) -> set[int]:

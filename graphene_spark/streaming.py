@@ -169,13 +169,42 @@ def dedup_batch(
                 f"{stored} ({params_path}) — bands from different parameters hash "
                 "different signature slices and would silently match nothing"
             )
+    else:
+        # freeze the params BEFORE any state merge (atomic rename): if the
+        # params file only landed after the first batch's index write, a
+        # crash between the two would leave persisted LSH state with no
+        # parameter guard, and a restart with different (ngram_words,
+        # num_hashes, bands) would silently build a mismatched index —
+        # exactly the failure the guard above exists to prevent
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = params_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, params_path)
 
-    # one row per doc id (first wins): the corpus is keyed on doc_id, so
-    # same-id re-deliveries within a batch are not distinct documents and
-    # would otherwise skew every counter
-    batch_df = batch_df.dropDuplicates([id_col]).persist()
+    # one row per doc id: the corpus is keyed on doc_id, so same-id
+    # re-deliveries within a batch are not distinct documents and would
+    # otherwise skew every counter.  The representative row is picked
+    # DETERMINISTICALLY (min over the struct of the remaining columns) —
+    # dropDuplicates keeps an arbitrary partition-dependent row, so a crash
+    # replay could pick a different text for the same id and derive
+    # different accept/reject decisions for OTHER docs in the batch,
+    # breaking the replay-invariance contract below.
+    other_cols = [c for c in batch_df.columns if c != id_col]
+    batch_df = (
+        batch_df.groupBy(id_col)
+        .agg(F.min(F.struct(*other_cols)).alias("_rep"))
+        .select(id_col, *[F.col(f"_rep.{c}").alias(c) for c in other_cols])
+        .persist()
+    )
     arrived = batch_df.count()
-    # 1. in-batch dedup: smaller id wins, exactly like curate_corpus
+    # 1. in-batch dedup: for every candidate pair the greater id is dropped
+    # (pairwise smaller-id-wins).  NOTE this is deliberately NOT the
+    # transitive-closure grouping curate_corpus uses: for pairs (A,C),(B,C)
+    # with A<B<C this keeps A AND B (B is not a near-dup of A), while
+    # curate's connected-components keep-min would keep only A.
     pairs = dd.minhash_duplicates(
         batch_df, id_col=id_col, text_col=text_col, threshold=threshold,
         ngram_words=ngram_words, num_hashes=num_hashes, bands=bands,
@@ -198,6 +227,7 @@ def dedup_batch(
     index_path = os.path.join(out_dir, "band_index")
     accepted_path = os.path.join(out_dir, "accepted")
     n_index_dups = 0
+    index_dup_ids = None
     if os.path.exists(index_path):
         batch_ids = banded.select(F.col("_id").alias(id_col)).distinct()
         idx = (
@@ -271,12 +301,13 @@ def dedup_batch(
         index_path,
         [id_col, "band_idx"],
     )
-    if not os.path.exists(params_path):
-        with open(params_path, "w") as f:
-            json.dump(params, f, sort_keys=True)
     n_in_batch = arrived - n_survive - n_index_dups
     survivors.unpersist()
     batch_df.unpersist()
+    if index_dup_ids is not None:
+        # a long-running stream would otherwise accumulate one cached frame
+        # per micro-batch until the ContextCleaner happens to GC it
+        index_dup_ids.unpersist()
     return {
         "arrived": arrived,
         "in_batch_dups": n_in_batch,

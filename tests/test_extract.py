@@ -186,3 +186,49 @@ def test_native_word_boundary_parity():
     assert not re.search(extract._NATIVE_RANK, "Xhas_rank NCBITaxon:species")
     assert re.search(extract._NATIVE_SYN, "a synonym: foo.")
     assert not re.search(extract._NATIVE_SYN, "Xsynonym: foo.")
+
+
+def test_whitespace_divergence_class_pinned(spark):
+    """Pin the documented Python-\\s vs Java-(?U)\\s divergence class.
+
+    Both normalizers collapse [case/space/_/-] variants; the known edge
+    class is the C0 separator controls U+001C..U+001F (FS/GS/RS/US):
+    Python's re \\s matches them, java.lang.Character.isWhitespace (the
+    (?U)\\s used in every SQL-side norm) does NOT.  Everything else in the
+    probe set must AGREE between the two dialects — if Spark or CPython
+    ever shifts this behavior, this test flags it before it can silently
+    break pandas<->SQL normalization parity.
+    """
+    import pyspark.sql.functions as F
+
+    from graphene_spark import rules
+
+    probe = {
+        "space": " ", "tab": "\t", "nl": "\n", "cr": "\r",
+        "vt": "\x0b", "ff": "\x0c",          # \v and \f agree in BOTH
+        "nel": "\x85", "nbsp": "\xa0",       # Unicode WS: agree under (?U)
+        "ogham": " ", "emsp": " ", "line_sep": " ",
+        "ideo": "　",
+        "zwsp": "​",                    # not whitespace in either
+        "fs": "\x1c", "gs": "\x1d", "rs": "\x1e", "us": "\x1f",  # DIVERGE
+    }
+    diverging = {"fs", "gs", "rs", "us"}
+    rows = [(k, f"ent{c}name") for k, c in probe.items()]
+    df = spark.createDataFrame(rows, "name string, s string")
+    sql_norm = {
+        r["name"]: r["n"]
+        for r in df.select(
+            "name",
+            F.trim(F.regexp_replace(F.lower("s"), r"(?U)[\s_\-]+", " ")).alias("n"),
+        ).collect()
+    }
+    for k, c in probe.items():
+        py = rules.normalize_alias(f"ent{c}name")
+        if k in diverging:
+            assert py == "ent name", k
+            assert sql_norm[k] == f"ent{c}name", k  # Java leaves it in place
+        else:
+            assert py == sql_norm[k], (
+                f"{k!r}: python={py!r} sql={sql_norm[k]!r} — a NEW divergence "
+                "outside the documented FS/GS/RS/US class"
+            )

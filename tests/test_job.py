@@ -94,3 +94,17 @@ def test_job_cli_main(spark, tmp_path):
         ]
     )
     assert spark.read.parquet(os.path.join(out, "triples")).count() == n
+
+
+def test_collect_aliases_guard(spark, dictionary_df):
+    """The broadcast-gazetteer collect is bounded by an explicit cap with a
+    design-point error message (the driver-side alias collect is safe only
+    because it scales with the DICTIONARY, not the corpus)."""
+    import pytest
+
+    from graphene_spark.job import collect_aliases
+
+    aliases = collect_aliases(dictionary_df)
+    assert len(aliases) > 0
+    with pytest.raises(ValueError, match="broadcast-gazetteer design point"):
+        collect_aliases(dictionary_df, max_aliases=3)
