@@ -90,13 +90,19 @@ def _extract_batch(conv_in, turn_in, text_in, gaz):
     conv_o, turn_o, kind_o = [], [], []
     subj_o, pred_o, obj_o, surf_o = [], [], [], []
     nm_o, nt_o, err_o = [], [], []
+    # bound-method locals: this loop emits ~2.5 rows/turn x 10 columns, and
+    # the generic emit(...) closure it replaced was ~20% of stage CPU
+    # (attribute lookups + call/kwarg overhead); the hot paths below append
+    # directly through these locals instead
+    a_conv, a_turn, a_kind = conv_o.append, turn_o.append, kind_o.append
+    a_subj, a_pred, a_obj = subj_o.append, pred_o.append, obj_o.append
+    a_surf, a_nm, a_nt, a_err = surf_o.append, nm_o.append, nt_o.append, err_o.append
+    extract_turn = rules.extract_turn
 
-    def emit(conv, turn, kind, subj=None, pred=None, obj=None,
-             surface=None, nm=0, nt=0, err=0):
-        conv_o.append(conv); turn_o.append(turn); kind_o.append(kind)
-        subj_o.append(subj); pred_o.append(pred); obj_o.append(obj)
-        surf_o.append(surface); nm_o.append(nm); nt_o.append(nt)
-        err_o.append(err)
+    def emit_turn(conv, turn, nm, nt, err):
+        a_conv(conv); a_turn(turn); a_kind("turn")
+        a_subj(None); a_pred(None); a_obj(None); a_surf(None)
+        a_nm(nm); a_nt(nt); a_err(err)
 
     for conv, turn, text in zip(conv_in, turn_in, text_in):
         try:
@@ -105,16 +111,20 @@ def _extract_batch(conv_in, turn_in, text_in, gaz):
             # become a metric, never a job failure
             turn = int(turn)
             if text is None or text == "" or "\x00" in text:
-                emit(conv, turn, "turn", err=1)
+                emit_turn(conv, turn, 0, 0, 1)
                 continue
-            mentions, triples = rules.extract_turn(text, gaz)
-            emit(conv, turn, "turn", nm=len(mentions), nt=len(triples))
+            mentions, triples = extract_turn(text, gaz)
+            emit_turn(conv, turn, len(mentions), len(triples), 0)
             for m in mentions:
-                emit(conv, turn, "mention", surface=m)
+                a_conv(conv); a_turn(turn); a_kind("mention")
+                a_subj(None); a_pred(None); a_obj(None); a_surf(m)
+                a_nm(0); a_nt(0); a_err(0)
             for t in triples:
-                emit(conv, turn, "triple", subj=t.subj, pred=t.pred, obj=t.obj)
+                a_conv(conv); a_turn(turn); a_kind("triple")
+                a_subj(t.subj); a_pred(t.pred); a_obj(t.obj); a_surf(None)
+                a_nm(0); a_nt(0); a_err(0)
         except Exception:  # noqa: BLE001 — skip bad rows with a metric
-            emit(conv, turn if isinstance(turn, int) else -1, "turn", err=1)
+            emit_turn(conv, turn if isinstance(turn, int) else -1, 0, 0, 1)
 
     return (conv_o, turn_o, kind_o, subj_o, pred_o, obj_o, surf_o, nm_o, nt_o, err_o)
 
@@ -186,10 +196,10 @@ def extract_rows_arrow(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
     directly), which trims the per-batch memory traffic the single-box
     scaling analysis identifies as the 4N-side residual
     (BENCH/BASELINE.md).  Measured 0-20% faster than the pandas path under
-    varying host load — kept as an alternative rather than the default
-    because the gain is within host noise while the pandas path is the
-    more widely exercised API.  Output is row-for-row identical
-    (tests/test_extract.py::test_arrow_extraction_parity)."""
+    varying host load, and since round 4 the PIPELINE DEFAULT
+    (pipeline.run_pipeline extractor="arrow") — the byte cut is what closes
+    the 4N-side scaling gap on a shared DRAM bus.  Output is row-for-row
+    identical (tests/test_extract.py::test_arrow_extraction_parity)."""
     alias_tuple = tuple(sorted(set(aliases)))
 
     def gen(batches):

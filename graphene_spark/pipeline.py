@@ -37,6 +37,7 @@ def run_pipeline(
     link_strategy: str = "broadcast",
     fuzzy_threshold: float | None = None,
     canonicalize_dictionary: bool = False,
+    extractor: str = "arrow",
 ) -> dict:
     """Run extraction+linking+graph build; returns dict of DataFrames + counters.
 
@@ -87,7 +88,17 @@ def run_pipeline(
             )
         )
 
-    ex = extract.extract_rows(transcripts, aliases)
+    # extractor="arrow" (default): mapInArrow extraction — row-for-row
+    # identical to the pandas path (test_extract.py::test_arrow_extraction_parity)
+    # but skips the pandas materialization on both ends of every batch,
+    # which cuts the Arrow-transfer memory traffic that bounds large-N
+    # scaling on a shared DRAM bus (BENCH/BASELINE.md analysis).
+    extract_fn = {
+        "arrow": extract.extract_rows_arrow,
+        "pandas": extract.extract_rows,
+        "native": extract.extract_rows_native,
+    }[extractor]
+    ex = extract_fn(transcripts, aliases)
     raw_triples = extract.triples_from_rows(ex)
     mentions = extract.mentions_from_rows(ex)
 
