@@ -162,8 +162,14 @@ def test_multimodal_plumbing(spark):
     media = multimodal.make_media_df(spark, n=30)
     feats = multimodal.extract_image_features(media)
     rows = feats.collect()
-    assert len(rows) == len([r for r in media.collect() if r["kind"] == "image"])
-    assert all(0 <= r["mean_luma"] <= 1 for r in rows)
+    img_meta = {r["media_id"]: r["meta"] for r in media.collect() if r["kind"] == "image"}
+    assert len(rows) == len(img_meta)
+    assert all(0 < r["mean_luma"] < 1 for r in rows)
+    # decoded dimensions must equal the generator's metadata (real header parse)
+    for r in rows:
+        assert (r["width"], r["height"]) == (
+            img_meta[r["media_id"]]["width"], img_meta[r["media_id"]]["height"]
+        )
     # deterministic across runs
     rows2 = feats.collect()
     assert {r["media_id"]: r["phash"] for r in rows} == {r["media_id"]: r["phash"] for r in rows2}
@@ -174,9 +180,75 @@ def test_multimodal_plumbing(spark):
     # stats prune payload: check it runs and aggregates
     stats = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
     assert stats["image"] == 10
-    # real decoder is explicitly stubbed
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_real(b"xx")
+
+
+def test_multimodal_image_decode_real():
+    """Codec round-trip on known pixels: BMP and PPM of the SAME raster must
+    decode to identical pixels, luma, and phash (format-independent
+    features), and mean_luma must equal the hand-computed Rec.601 value."""
+    import numpy as np
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    px[0, 0] = (255, 0, 0); px[0, 1] = (0, 255, 0)
+    px[1, 0] = (0, 0, 255); px[1, 1] = (255, 255, 255)
+    for enc in (multimodal.encode_bmp, multimodal.encode_ppm):
+        f = multimodal.decode_image(enc(px))
+        assert (f["width"], f["height"]) == (2, 2)
+        expected = (0.299 + 0.587 + 0.114 + 1.0) / 4  # one pure R, G, B, W pixel
+        assert abs(f["mean_luma"] - expected) < 1e-9
+    assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(px)), px)
+    assert np.array_equal(multimodal.decode_ppm(multimodal.encode_ppm(px)), px)
+    # odd width exercises BMP 4-byte row padding
+    px3 = multimodal._gradient(5, 3, phase=9)
+    assert np.array_equal(multimodal.decode_bmp(multimodal.encode_bmp(px3)), px3)
+    f_bmp = multimodal.decode_image(multimodal.encode_bmp(px3))
+    f_ppm = multimodal.decode_image(multimodal.encode_ppm(px3))
+    assert f_bmp == f_ppm
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"JUNK....")
+
+
+def test_multimodal_audio_decode_real(spark):
+    """WAV decode on a known signal: a full-scale square wave has RMS = peak
+    = amplitude/32768; media-table audio rows decode with real rate/length."""
+    import numpy as np
+
+    amp = 16000
+    sq = np.tile(np.array([amp, -amp], dtype=np.int16), 800)
+    f = multimodal.decode_audio(multimodal.encode_wav(sq, 8000))
+    assert f["sample_rate"] == 8000 and f["n_samples"] == 1600
+    assert abs(f["rms"] - amp / 32768.0) < 1e-9
+    assert abs(f["peak"] - amp / 32768.0) < 1e-9
+    media = multimodal.make_media_df(spark, n=12)
+    rows = multimodal.extract_audio_features(media).collect()
+    assert len(rows) == 4  # kinds cycle image/audio/video
+    for r in rows:
+        assert r["sample_rate"] == 16000 and r["n_samples"] == 1600
+        # sine RMS = amplitude/sqrt(2); generator amplitude is 12000
+        assert abs(r["rms"] - (12000 / 32768.0) / (2**0.5)) < 0.01
+
+
+def test_multimodal_video_decode_real(spark):
+    """Sampled-frame decode walks the concatenated-P6 stream: output rows
+    match the metadata-only plan exactly, and per-frame luma comes from the
+    right frame (seek parity with decode_video_frame)."""
+    import numpy as np
+
+    media = multimodal.make_media_df(spark, n=9)
+    plan = {(r["media_id"], r["frame_idx"])
+            for r in multimodal.frame_sample_plan(media, every_n=10).collect()}
+    got = multimodal.extract_video_frame_features(media, every_n=10).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in got} == plan
+    payloads = {r["media_id"]: bytes(r["payload"])
+                for r in media.collect() if r["kind"] == "video"}
+    for r in got:
+        frame = multimodal.decode_video_frame(payloads[r["media_id"]], r["frame_idx"])
+        assert abs(r["mean_luma"] - float(multimodal._luma(frame).mean())) < 1e-12
+    # frames differ, so sampled lumas should not all collapse to one value
+    lumas = {round(r["mean_luma"], 6) for r in got}
+    assert len(lumas) > 1
+    with pytest.raises(IndexError):
+        multimodal.decode_video_frame(next(iter(payloads.values())), 999)
 
 
 # ---------------------------------------------------------------------------
