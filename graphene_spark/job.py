@@ -67,6 +67,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--postprocess", action="store_true",
                     help="run graph rewrites after materialization (the post-import-cypher phase)")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--merge-backend", default="parquet",
+                    help="'parquet' (default: bucketed-parquet MERGE emulation under "
+                         "--out) or 'iceberg:<catalog.namespace>' (real MERGE INTO; "
+                         "requires the Iceberg runtime jar and catalog confs)")
     ap.add_argument("--max-dictionary-aliases", type=int, default=2_000_000,
                     help="hard cap on the alias count collected to the driver "
                          "for the broadcast gazetteer (design-point guard)")
@@ -98,6 +102,19 @@ def main(argv: list[str] | None = None) -> None:
     else:
         transcripts = spark.read.parquet(args.transcripts)
 
+    if args.merge_backend.startswith("iceberg:"):
+        namespace = args.merge_backend.split(":", 1)[1]
+        catalog = namespace.split(".", 1)[0]
+        if not materialize.IcebergMergeSink.available(spark, catalog):
+            raise SystemExit(
+                f"--merge-backend iceberg:{namespace} requires catalog "
+                f"'{catalog}' to be configured on the session "
+                f"(spark.sql.catalog.{catalog}=... plus the iceberg-spark-runtime jar)"
+            )
+        sink = materialize.IcebergMergeSink(spark, namespace)
+    else:
+        sink = materialize.ParquetMergeSink(spark, args.out)
+
     if not args.resume:
         materialize.reset_output(args.out)
 
@@ -126,15 +143,15 @@ def main(argv: list[str] | None = None) -> None:
         }
 
     totals = materialize.run_with_lineage(
-        spark, transcripts, args.out, process_bucket, n_buckets=args.buckets
+        spark, transcripts, args.out, process_bucket, n_buckets=args.buckets, sink=sink
     )
 
     lineage = materialize.read_lineage(spark, os.path.join(args.out, "lineage"))
     summary = {
         "buckets": totals,
-        "triples": spark.read.parquet(os.path.join(args.out, "triples")).count(),
-        "nodes": spark.read.parquet(os.path.join(args.out, "nodes")).count(),
-        "edges": spark.read.parquet(os.path.join(args.out, "edges")).count(),
+        "triples": sink.read("triples").count(),
+        "nodes": sink.read("nodes").count(),
+        "edges": sink.read("edges").count(),
         "lineage_rows": lineage.count(),
     }
 
@@ -143,10 +160,8 @@ def main(argv: list[str] | None = None) -> None:
         # materialized graph, each with its return-count regression counter
         from graphene_spark import postprocess as pp
 
-        nodes = spark.read.parquet(os.path.join(args.out, "nodes"))
-        edges = spark.read.parquet(os.path.join(args.out, "edges")).select(
-            "src", "dst", "rel_type"
-        )
+        nodes = sink.read("nodes")
+        edges = sink.read("edges").select("src", "dst", "rel_type")
         # hot entities are the 'common' exclusion set (post-import-cypher.txt:6-10)
         hot = nodes.join(
             dictionary.filter("is_hot").select(F.col("canonical_name").alias("name")),
@@ -171,9 +186,7 @@ def main(argv: list[str] | None = None) -> None:
         pp_edges = same_as.unionByName(anc).withColumn(
             "props", F.create_map().cast("map<string,string>")
         )
-        n_inserted = materialize.merge_insert_absent(
-            spark, pp_edges, os.path.join(args.out, "edges"), ["src", "rel_type", "dst"]
-        )
+        n_inserted = sink.merge_insert_absent(pp_edges, "edges", ["src", "rel_type", "dst"])
         summary["postprocess"] = {
             "same_as": n_same,
             "ancestor": n_anc,

@@ -1,18 +1,28 @@
 """Materialization: deduplicated tables, idempotent merge, per-partition lineage.
 
 Prod target is Iceberg (``df.writeTo(...).append()`` / ``MERGE INTO`` keyed on
-the natural key) as named in BASELINE.json:6.  The sandbox has no Iceberg
-runtime jar, so this module implements the same *semantics* on plain parquet
-behind a small storage layer:
+the natural key) as named in BASELINE.json:6.  The write path is PLUGGABLE:
 
-* ``merge_insert_absent``  — MERGE INTO ... WHEN NOT MATCHED THEN INSERT:
+* ``ParquetMergeSink`` (sandbox default) — emulates
+  ``MERGE INTO ... WHEN NOT MATCHED THEN INSERT`` on plain parquet:
   anti-join the incoming batch against the existing table on the key and
-  append only new rows.  Combined with deterministic ids (graph.node_id) this
-  makes every write idempotent (A7 / post-import-cypher MERGE).
-* ``run_with_lineage``     — partition the input by a stable bucket of
-  conv_id, process bucket-by-bucket, and record (bucket, counts, status) in a
-  lineage table; a resumed run skips completed buckets (north_rule: 'any
-  partition can be resumed idempotently').
+  append only new rows, laid out by a key-hash bucket column so the
+  anti-join is partition-pruned.  Combined with deterministic ids
+  (graph.node_id) this makes every write idempotent
+  (A7 / post-import-cypher MERGE; Importer.groovy:36-52).
+* ``IcebergMergeSink`` — issues REAL ``MERGE INTO`` SQL against an Iceberg
+  catalog when one is configured on the session (runtime jar +
+  ``spark.sql.catalog.<name>`` confs).  Same null-safe key semantics
+  (``<=>`` in the ON clause mirrors the emulation's eqNullSafe anti-join);
+  tables are created bucket-partitioned on the first key, mirroring the
+  emulation's ``_kb`` layout.  The sandbox has no Iceberg jar, so this
+  backend is exercised by SQL-text parity tests and skipped-with-reason for
+  execution (tests/test_job.py).
+
+* ``run_with_lineage`` — partition the input by a stable bucket of conv_id,
+  process bucket-by-bucket, and record (bucket, counts, status) in a lineage
+  table; a resumed run skips completed buckets (north_rule: 'any partition
+  can be resumed idempotently').  Accepts either sink.
 
 At 100 TB the bucket loop runs as independent Spark jobs (or a single job with
 Iceberg partition-level commit); the lineage table is exactly the reference's
@@ -90,6 +100,117 @@ def read_merged(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("_kb")
 
 
+# ---------------------------------------------------------------------------
+# pluggable merge sinks
+# ---------------------------------------------------------------------------
+
+class ParquetMergeSink:
+    """Key-bucketed parquet emulation of MERGE INTO (the sandbox default).
+
+    ``name`` -> a parquet directory under ``root``; all semantics delegate to
+    the module-level functions above."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def target(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def merge_insert_absent(self, df: DataFrame, name: str, keys: list[str]) -> int:
+        return merge_insert_absent(self.spark, df, self.target(name), keys)
+
+    def read(self, name: str) -> DataFrame:
+        return read_merged(self.spark, self.target(name))
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.target(name))
+
+
+def build_merge_insert_sql(
+    table: str, source_view: str, keys: list[str], columns: list[str]
+) -> str:
+    """The insert-if-absent MERGE statement the Iceberg backend executes.
+
+    Pure function so the SQL rewrite is unit-testable without Iceberg jars.
+    ``<=>`` (null-safe equality) in the ON clause mirrors the parquet
+    emulation's eqNullSafe anti-join: rows whose key contains NULL must
+    match their replay twins, or every replay re-inserts them."""
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    cols = ", ".join(columns)
+    vals = ", ".join(f"s.{c}" for c in columns)
+    return (
+        f"MERGE INTO {table} t\n"
+        f"USING {source_view} s\n"
+        f"ON {on}\n"
+        f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+class IcebergMergeSink:
+    """Real ``MERGE INTO`` against an Iceberg catalog (the 100 TB path).
+
+    ``namespace`` is a catalog-qualified namespace, e.g. ``lake.kg``; table
+    names map to ``lake.kg.<name>``.  Tables are created on first write with
+    ``PARTITIONED BY (bucket(<n>, <first key>))`` — the catalog analog of the
+    emulation's ``_kb`` hash-bucket layout, so MERGE's join against existing
+    data prunes to the buckets the incoming batch touches.  Insert counts
+    come from the committed snapshot's ``added-records`` summary (no second
+    table scan).  Reference semantics: Importer.groovy:36-52 + A7.
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str, key_buckets: int = KEY_BUCKETS):
+        self.spark = spark
+        self.namespace = namespace
+        self.key_buckets = key_buckets
+
+    @staticmethod
+    def available(spark: SparkSession, catalog: str) -> bool:
+        """True when ``catalog`` is configured with an Iceberg implementation
+        on this session (runtime jar + spark.sql.catalog.<name> conf)."""
+        try:
+            impl = spark.conf.get(f"spark.sql.catalog.{catalog}")
+        except Exception:  # noqa: BLE001 — unset conf raises in Spark 4
+            return False
+        if not impl:
+            return False
+        try:
+            spark.sql(f"SHOW NAMESPACES IN {catalog}").collect()
+            return True
+        except Exception:  # noqa: BLE001 — conf set but jar absent
+            return False
+
+    def table(self, name: str) -> str:
+        return f"{self.namespace}.{name}"
+
+    def _ensure_table(self, df: DataFrame, name: str, keys: list[str]) -> None:
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.table(name)} ({ddl}) USING iceberg "
+            f"PARTITIONED BY (bucket({self.key_buckets}, {keys[0]}))"
+        )
+
+    def merge_insert_absent(self, df: DataFrame, name: str, keys: list[str]) -> int:
+        self._ensure_table(df, name, keys)
+        view = f"_incoming_{uuid.uuid4().hex[:12]}"
+        df.dropDuplicates(keys).createOrReplaceTempView(view)
+        try:
+            self.spark.sql(build_merge_insert_sql(self.table(name), view, keys, df.columns))
+        finally:
+            self.spark.catalog.dropTempView(view)
+        row = self.spark.sql(
+            f"SELECT summary['added-records'] AS n FROM {self.table(name)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(row[0]["n"]) if row and row[0]["n"] is not None else 0
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.table(self.table(name))
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self.table(name))
+
+
 def conv_bucket(col, n_buckets: int):
     """Stable bucket of conv_id — the partition unit for resume/lineage.
     Matches Iceberg's bucket(n, conv_id) partition transform."""
@@ -160,14 +281,22 @@ def run_with_lineage(
     process_bucket,
     n_buckets: int = 8,
     run_id: str | None = None,
+    sink=None,
 ) -> dict:
     """Resumable bucket loop.
 
     ``process_bucket(bucket_df) -> dict`` must return
     {"triples": df, "nodes": df, "edges": df, counters: {...}}; outputs are
     merged insert-if-absent so re-processing a bucket is a no-op.
+
+    ``sink`` is any merge sink (ParquetMergeSink by default, or an
+    IcebergMergeSink for a real lakehouse).  Lineage stays a parquet table
+    under ``out_dir`` regardless of sink — it is tiny (one row per bucket
+    per run) and must be readable even when the catalog is down, since it
+    gates the resume decision.
     """
     run_id = run_id or uuid.uuid4().hex[:12]
+    sink = sink or ParquetMergeSink(spark, out_dir)
     lineage_path = os.path.join(out_dir, "lineage")
     done = completed_buckets(spark, lineage_path)
     bucketed = transcripts.withColumn("_bucket", conv_bucket(F.col("conv_id"), n_buckets))
@@ -179,14 +308,12 @@ def run_with_lineage(
         part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
         result = process_bucket(part)
         counters = dict(result.get("counters", {}))
-        counters["n_triples"] = merge_insert_absent(
-            spark, result["triples"], os.path.join(out_dir, "triples"), ["subj", "pred", "obj"]
+        counters["n_triples"] = sink.merge_insert_absent(
+            result["triples"], "triples", ["subj", "pred", "obj"]
         )
-        counters["n_nodes"] = merge_insert_absent(
-            spark, result["nodes"], os.path.join(out_dir, "nodes"), ["node_id"]
-        )
-        counters["n_edges"] = merge_insert_absent(
-            spark, result["edges"], os.path.join(out_dir, "edges"), ["src", "rel_type", "dst"]
+        counters["n_nodes"] = sink.merge_insert_absent(result["nodes"], "nodes", ["node_id"])
+        counters["n_edges"] = sink.merge_insert_absent(
+            result["edges"], "edges", ["src", "rel_type", "dst"]
         )
         write_lineage_row(spark, lineage_path, b, "done", counters, run_id)
         totals["buckets_run"] += 1

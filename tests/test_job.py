@@ -108,3 +108,80 @@ def test_collect_aliases_guard(spark, dictionary_df):
     assert len(aliases) > 0
     with pytest.raises(ValueError, match="broadcast-gazetteer design point"):
         collect_aliases(dictionary_df, max_aliases=3)
+
+
+def test_merge_sink_sql_and_parquet_parity(spark, tmp_path):
+    """The Iceberg backend's MERGE statement is pinned (null-safe <=> keys,
+    insert-only), and ParquetMergeSink keeps the emulation's idempotency
+    contract through the sink interface."""
+    sql = materialize.build_merge_insert_sql(
+        "lake.kg.edges", "_incoming_x", ["src", "rel_type", "dst"],
+        ["src", "rel_type", "dst", "props"],
+    )
+    assert sql == (
+        "MERGE INTO lake.kg.edges t\n"
+        "USING _incoming_x s\n"
+        "ON t.src <=> s.src AND t.rel_type <=> s.rel_type AND t.dst <=> s.dst\n"
+        "WHEN NOT MATCHED THEN INSERT (src, rel_type, dst, props) "
+        "VALUES (s.src, s.rel_type, s.dst, s.props)"
+    )
+
+    sink = materialize.ParquetMergeSink(spark, str(tmp_path / "out"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "k int, v string"
+    )
+    assert not sink.exists("t")
+    assert sink.merge_insert_absent(df, "t", ["k"]) == 3
+    # replay is a no-op, INCLUDING the null-key row (eqNullSafe / <=> parity)
+    assert sink.merge_insert_absent(df, "t", ["k"]) == 0
+    more = spark.createDataFrame([(2, "dup"), (4, "new")], "k int, v string")
+    assert sink.merge_insert_absent(more, "t", ["k"]) == 1
+    assert sink.exists("t")
+    got = {(r["k"], r["v"]) for r in sink.read("t").collect()}
+    assert got == {(1, "a"), (2, "b"), (None, "c"), (4, "new")}
+
+
+def test_iceberg_sink_execution_parity(spark, tmp_path):
+    """Run the SAME frames through both sinks and compare inserted counts +
+    final row sets.  Skips unless an Iceberg catalog named 'lake' is live on
+    the session (runtime jar + spark.sql.catalog.lake confs)."""
+    if not materialize.IcebergMergeSink.available(spark, "lake"):
+        pytest.skip(
+            "Iceberg runtime jar / catalog 'lake' not configured in this "
+            "sandbox — the backend's SQL rewrite is covered by "
+            "test_merge_sink_sql_and_parquet_parity"
+        )
+    pq = materialize.ParquetMergeSink(spark, str(tmp_path / "pq"))
+    ice = materialize.IcebergMergeSink(spark, "lake.parity_test")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "k int, v string"
+    )
+    for batch in (df, df, spark.createDataFrame([(2, "dup"), (4, "new")], "k int, v string")):
+        assert pq.merge_insert_absent(batch, "t", ["k"]) == ice.merge_insert_absent(
+            batch, "t", ["k"]
+        )
+    assert {tuple(r) for r in pq.read("t").collect()} == {
+        tuple(r) for r in ice.read("t").collect()
+    }
+
+
+def test_run_with_lineage_accepts_sink(spark, transcripts_df, dictionary_df, dictionary_pdf, out_dir):
+    """Explicit-sink run produces the same tables as the default path."""
+    aliases = pipeline.all_aliases(dictionary_pdf)
+    sink = materialize.ParquetMergeSink(spark, out_dir)
+
+    def process_bucket(bucket_df):
+        res = pipeline.run_pipeline(spark, bucket_df, dictionary_df, aliases)
+        return {"triples": res["triples"], "nodes": res["nodes"],
+                "edges": res["edges"], "counters": {}}
+
+    totals = materialize.run_with_lineage(
+        spark, transcripts_df, out_dir, process_bucket, n_buckets=2, sink=sink
+    )
+    assert totals["buckets_run"] == 2
+    assert sink.read("triples").count() > 0
+    # resume through the same sink is a no-op
+    totals2 = materialize.run_with_lineage(
+        spark, transcripts_df, out_dir, process_bucket, n_buckets=2, sink=sink
+    )
+    assert totals2 == {"buckets_run": 0, "buckets_skipped": 2}
