@@ -210,3 +210,44 @@ def test_collapse_preserves_uncollapsed_mid_edges(spark):
     kept = {(r["src"], r["dst"], r["rel_type"]) for r in edges2.collect()}
     assert (11, 3, "REGULATOR") in kept
     assert {r["node_id"] for r in nodes2.collect()} == {11}
+
+
+def test_hub_exclusion_bounds_pairs_at_10x_skew(spark):
+    """The common-flag exclusion's scale property, pinned in CI: scaling a
+    hub's degree 10x must leave the GUARDED two_hop/metabolite outputs
+    exactly flat, while the unguarded hub term grows quadratically (the
+    full-size evidence lives in BENCH/SKEW.md via scripts/bench_skew.py)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    import bench_skew
+
+    hub = spark.createDataFrame([("name_hub",)], "node_id string")
+    common = spark.createDataFrame([("ATP",), ("H2O",)], "node_id string")
+    counts = {}
+    for label, d in (("base", 5), ("10x", 50)):
+        edges = bench_skew._two_hop_fixture(spark, n_entities=200, n_names=50, hot_degree=d)
+        _, counts[f"th_{label}_g"] = pp.two_hop_edges(
+            edges, "SYNONYM", "SYNONYM_OF", "SAME_AS", excluded_mid=hub
+        )
+        _, counts[f"th_{label}_u"] = pp.two_hop_edges(
+            edges, "SYNONYM", "SYNONYM_OF", "SAME_AS"
+        )
+        medges, reactions = bench_skew._metabolite_fixture(
+            spark, n_reactions=200, n_metabolites=20, hot_degree=d
+        )
+        _, counts[f"mb_{label}_g"] = pp.metabolite_link(
+            medges, reactions, common_ids=common
+        )
+        _, counts[f"mb_{label}_u"] = pp.metabolite_link(medges, reactions)
+    # guarded: exactly flat under 10x hub degree
+    assert counts["th_10x_g"] == counts["th_base_g"]
+    assert counts["mb_10x_g"] == counts["mb_base_g"]
+    # unguarded: the hub term is quadratic (50^2 vs 5^2 dominates regular
+    # pairs).  two_hop is exact (hub entities are disjoint from regular
+    # ones); metabolite hub pairs partially coincide with mixed
+    # hub-input/regular-output pairs after the (src, rel, dst) dedup, so
+    # assert the quadratic-scale lower bound instead of exact arithmetic.
+    assert counts["th_10x_u"] - counts["th_base_u"] == 50 * 50 - 5 * 5
+    assert counts["mb_10x_u"] - counts["mb_base_u"] >= (50 * 50 - 50) * 0.8
