@@ -98,3 +98,16 @@ def test_minhash_band_shuffle_carries_no_shingles(spark):
         keys = block.split("\n")[0]
         if "band_idx" in keys or "band_sig" in keys:
             assert "_sh" not in keys, f"band shuffle carries shingles: {keys}"
+
+
+def test_pipeline_default_extraction_is_narrow_arrow(spark, transcripts_df, dictionary_pdf):
+    """The pipeline DEFAULT (round 4) is the mapInArrow path: the extraction
+    stage must be a single narrow PythonMapInArrow with no Exchange."""
+    aliases = pipeline.all_aliases(dictionary_pdf)
+    res = pipeline.run_pipeline(spark, transcripts_df,
+                                spark.createDataFrame(dictionary_pdf,
+                                                      schema="entity_id long, canonical_name string, aliases array<string>, entity_type string, is_hot boolean"),
+                                aliases)
+    plan = _plan(res["extracted"])
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan[:800]
+    assert "Exchange" not in plan
