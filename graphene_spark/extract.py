@@ -82,11 +82,22 @@ EXTRACT_ROWS_SCHEMA = (
 )
 
 
-def _extract_batch(conv_in, turn_in, text_in, gaz):
+def _extract_batch(conv_in, turn_in, text_in, gaz, kinds=None):
     """Shared per-row emit loop of extract_rows / extract_rows_arrow —
     returns the ten flat output lists.  ONE definition so the pandas and
     Arrow paths cannot silently diverge (their row-for-row parity is
-    pinned by tests/test_extract.py)."""
+    pinned by tests/test_extract.py).
+
+    ``kinds`` (None = all of turn/mention/triple) is the kind filter PUSHED
+    INSIDE the Python stage: Catalyst cannot push a post-UDF filter through
+    mapInArrow, so a consumer that only needs triples would otherwise ship
+    every mention/turn row across the Arrow boundary just to discard it
+    JVM-side.  At the 12M-turn bench scale that unfiltered traffic is ~60%
+    of the stage's output bytes — the DRAM-bus share that bounds large-N
+    single-box scaling (BENCH/BASELINE.md)."""
+    want_turn = kinds is None or "turn" in kinds
+    want_mention = kinds is None or "mention" in kinds
+    want_triple = kinds is None or "triple" in kinds
     conv_o, turn_o, kind_o = [], [], []
     subj_o, pred_o, obj_o, surf_o = [], [], [], []
     nm_o, nt_o, err_o = [], [], []
@@ -111,30 +122,38 @@ def _extract_batch(conv_in, turn_in, text_in, gaz):
             # become a metric, never a job failure
             turn = int(turn)
             if text is None or text == "" or "\x00" in text:
-                emit_turn(conv, turn, 0, 0, 1)
+                if want_turn:
+                    emit_turn(conv, turn, 0, 0, 1)
                 continue
             mentions, triples = extract_turn(text, gaz)
-            emit_turn(conv, turn, len(mentions), len(triples), 0)
-            for m in mentions:
-                a_conv(conv); a_turn(turn); a_kind("mention")
-                a_subj(None); a_pred(None); a_obj(None); a_surf(m)
-                a_nm(0); a_nt(0); a_err(0)
-            for t in triples:
-                a_conv(conv); a_turn(turn); a_kind("triple")
-                a_subj(t.subj); a_pred(t.pred); a_obj(t.obj); a_surf(None)
-                a_nm(0); a_nt(0); a_err(0)
+            if want_turn:
+                emit_turn(conv, turn, len(mentions), len(triples), 0)
+            if want_mention:
+                for m in mentions:
+                    a_conv(conv); a_turn(turn); a_kind("mention")
+                    a_subj(None); a_pred(None); a_obj(None); a_surf(m)
+                    a_nm(0); a_nt(0); a_err(0)
+            if want_triple:
+                for t in triples:
+                    a_conv(conv); a_turn(turn); a_kind("triple")
+                    a_subj(t.subj); a_pred(t.pred); a_obj(t.obj); a_surf(None)
+                    a_nm(0); a_nt(0); a_err(0)
         except Exception:  # noqa: BLE001 — skip bad rows with a metric
-            emit_turn(conv, turn if isinstance(turn, int) else -1, 0, 0, 1)
+            if want_turn:
+                emit_turn(conv, turn if isinstance(turn, int) else -1, 0, 0, 1)
 
     return (conv_o, turn_o, kind_o, subj_o, pred_o, obj_o, surf_o, nm_o, nt_o, err_o)
 
 
-def extract_rows(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
+def extract_rows(
+    transcripts: DataFrame, aliases: list[str], kinds: tuple[str, ...] | None = None
+) -> DataFrame:
     """Single-pass extraction via mapInPandas with a flat output schema.
 
     The explode happens inside the Arrow batch (mapInPandas may emit more
     rows than it receives), so the plan is scan -> mapInPandas — no nested
-    columns, no separate explode, still zero shuffles."""
+    columns, no separate explode, still zero shuffles.  ``kinds`` pushes
+    the row-kind filter inside the Python stage (see _extract_batch)."""
     alias_tuple = tuple(sorted(set(aliases)))
 
     def gen(batches):
@@ -144,7 +163,7 @@ def extract_rows(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
         for pdf in batches:
             (conv_o, turn_o, kind_o, subj_o, pred_o, obj_o,
              surf_o, nm_o, nt_o, err_o) = _extract_batch(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"], gaz
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], gaz, kinds
             )
             yield pd.DataFrame(
                 {
@@ -188,7 +207,9 @@ def metrics_from_rows(rows: DataFrame) -> DataFrame:
     )
 
 
-def extract_rows_arrow(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
+def extract_rows_arrow(
+    transcripts: DataFrame, aliases: list[str], kinds: tuple[str, ...] | None = None
+) -> DataFrame:
     """Same flat extraction as extract_rows, via ``mapInArrow``.
 
     Skips the pandas materialization on both ends of the batch (input
@@ -221,7 +242,7 @@ def extract_rows_arrow(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
             turn_in = rb.column(names.index("turn_idx")).to_pylist()
             text_in = rb.column(names.index("text")).to_pylist()
             (conv_o, turn_o, kind_o, subj_o, pred_o, obj_o,
-             surf_o, nm_o, nt_o, err_o) = _extract_batch(conv_in, turn_in, text_in, gaz)
+             surf_o, nm_o, nt_o, err_o) = _extract_batch(conv_in, turn_in, text_in, gaz, kinds)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(conv_o, pa.string()), pa.array(turn_o, pa.int32()),
@@ -289,9 +310,13 @@ def _native_gazetteer_pattern(aliases: list[str]) -> str:
     return r"(?i)(?<![A-Za-z0-9])(" + "|".join(parts) + r")(?![A-Za-z0-9])"
 
 
-def extract_rows_native(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
+def extract_rows_native(
+    transcripts: DataFrame, aliases: list[str], kinds: tuple[str, ...] | None = None
+) -> DataFrame:
     """Flat extraction rows (same schema as extract_rows) via built-in SQL
-    functions only — scan stays in whole-stage codegen end to end."""
+    functions only — scan stays in whole-stage codegen end to end.
+    ``kinds`` drops whole union branches (the JVM analog of the Python-side
+    kind pushdown)."""
     gaz = _native_gazetteer_pattern(aliases)
     text = F.col("text")
     bad = text.isNull() | (text == "") | text.contains("\x00")
@@ -396,7 +421,12 @@ def extract_rows_native(transcripts: DataFrame, aliases: list[str]) -> DataFrame
         F.col("_tr.pred").alias("pred"), F.col("_tr.obj").alias("obj"),
         "surface", "n_mentions", "n_triples", "is_error",
     )
-    return turn_rows.unionByName(mention_rows).unionByName(triple_rows)
+    by_kind = {"turn": turn_rows, "mention": mention_rows, "triple": triple_rows}
+    wanted = [by_kind[k] for k in ("turn", "mention", "triple") if kinds is None or k in kinds]
+    out = wanted[0]
+    for w in wanted[1:]:
+        out = out.unionByName(w)
+    return out
 
 
 def make_extract_udf(aliases: list[str]):
@@ -434,16 +464,17 @@ def make_extract_udf(aliases: list[str]):
 def extract_triples(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
     """transcripts -> one row per extracted raw triple (+ provenance).
 
-    Narrow until here — the first shuffle in the pipeline is the linking join.
+    Narrow until here — the first shuffle in the pipeline is the linking
+    join; only triple rows cross the Arrow boundary (kind pushdown).
     """
-    return triples_from_rows(extract_rows(transcripts, aliases))
+    return triples_from_rows(extract_rows(transcripts, aliases, kinds=("triple",)))
 
 
 def extract_mentions(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
     """transcripts -> one row per mention: conv_id, turn_idx, surface, norm."""
-    return mentions_from_rows(extract_rows(transcripts, aliases))
+    return mentions_from_rows(extract_rows(transcripts, aliases, kinds=("mention",)))
 
 
 def extraction_metrics(transcripts: DataFrame, aliases: list[str]) -> DataFrame:
     """Per-conversation error/extract counters (Importer.groovy:40-43 analog)."""
-    return metrics_from_rows(extract_rows(transcripts, aliases))
+    return metrics_from_rows(extract_rows(transcripts, aliases, kinds=("turn",)))

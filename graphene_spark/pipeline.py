@@ -1,6 +1,7 @@
 """End-to-end KG construction pipeline (the Importer.go analog).
 
-transcripts -> stable order (W1) -> pandas-UDF extraction -> linking (J3)
+transcripts -> stable order (W1) -> Arrow-vectorized extraction (mapInArrow
+default; pandas/native variants selectable) -> linking (J3)
 -> node/edge build (A1-A3, A7, J2) -> materialize with lineage.
 
 The reference runs ten loaders sequentially (Importer.groovy:21-24,38-44);
@@ -98,9 +99,16 @@ def run_pipeline(
         "pandas": extract.extract_rows,
         "native": extract.extract_rows_native,
     }[extractor]
+    # the full-kind frame is returned for callers ("extracted"); each
+    # downstream branch re-runs the cheap narrow stage with the kind filter
+    # PUSHED INSIDE the Python boundary (extract._extract_batch docstring) —
+    # the triples branch ships no mention/turn rows through Arrow, the
+    # mention branch no triple rows, etc.  Recomputation was already the
+    # deliberate trade (see the non-persist note above); the pushdown makes
+    # each recompute strictly cheaper than filtering the full frame.
     ex = extract_fn(transcripts, aliases)
-    raw_triples = extract.triples_from_rows(ex)
-    mentions = extract.mentions_from_rows(ex)
+    raw_triples = extract.triples_from_rows(extract_fn(transcripts, aliases, kinds=("triple",)))
+    mentions = extract.mentions_from_rows(extract_fn(transcripts, aliases, kinds=("mention",)))
 
     triples, dangling = linking.link_triples(raw_triples, dictionary, strategy=link_strategy)
     linked_mentions, unlinked = linking.link_mentions(mentions, dictionary, strategy=link_strategy)
@@ -182,7 +190,7 @@ def run_pipeline(
     )
     edges, dangling_edges = graph.build_edges(edge_candidates, nodes)
 
-    metrics = extract.metrics_from_rows(ex)
+    metrics = extract.metrics_from_rows(extract_fn(transcripts, aliases, kinds=("turn",)))
 
     return {
         "extracted": ex,

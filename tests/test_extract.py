@@ -232,3 +232,22 @@ def test_whitespace_divergence_class_pinned(spark):
                 f"{k!r}: python={py!r} sql={sql_norm[k]!r} — a NEW divergence "
                 "outside the documented FS/GS/RS/US class"
             )
+
+
+def test_kind_pushdown_equals_post_filter(spark, dictionary_pdf, transcripts_df):
+    """kinds=(k,) inside the Python/JVM stage must equal filtering the full
+    frame on kind — for every kind, across all three extractors."""
+    from graphene_spark import pipeline
+
+    aliases = pipeline.all_aliases(dictionary_pdf)
+
+    def sig(df):
+        cols = ", ".join(df.columns)
+        r = df.selectExpr(f"bit_xor(xxhash64({cols})) AS h", "count(*) AS n").collect()[0]
+        return (r["h"], r["n"])
+
+    for fn in (extract.extract_rows, extract.extract_rows_arrow, extract.extract_rows_native):
+        full = fn(transcripts_df, aliases)
+        for kind in ("turn", "mention", "triple"):
+            pushed = fn(transcripts_df, aliases, kinds=(kind,))
+            assert sig(pushed) == sig(full.filter(F.col("kind") == kind)), (fn.__name__, kind)
