@@ -6,11 +6,21 @@ we make ordering explicit and stable with a window over (conv_id, turn_idx)
 (region, start)).  The per-turn text-equality invariant (input_hint) is tested
 against the oracle's sorted walk.
 
-Extraction: one Arrow-batched pandas UDF per turn batch (input_hint mandates
-vectorized pandas/Arrow UDFs — never row-at-a-time Python UDFs).  The UDF
-calls the same frozen ``rules.extract_turn`` the oracle uses, so parity is by
-construction; the Spark plan stays a single narrow stage: scan -> pandas UDF
--> explode (no shuffle until linking).
+Extraction: one Arrow-batched stage per turn batch (input_hint mandates
+vectorized pandas/Arrow UDFs — never row-at-a-time Python UDFs).  Three
+parity-pinned implementations share ``_extract_batch`` / the frozen
+``rules.extract_turn`` the oracle uses, so parity is by construction:
+
+* ``extract_rows_arrow`` — mapInArrow, the pipeline DEFAULT (no pandas
+  materialization on either end of a batch);
+* ``extract_rows``       — mapInPandas (the widely-exercised API variant);
+* ``extract_rows_native``— built-in SQL regex only (whole-stage codegen,
+  dependency-free cross-check; slower on the big gazetteer alternation).
+
+All three take ``kinds`` to push the row-kind filter INSIDE the stage
+(Catalyst cannot push a post-UDF filter through the Python boundary).
+The Spark plan stays a single narrow stage: scan -> map -> rows (no
+shuffle until linking).
 """
 
 from __future__ import annotations
