@@ -91,6 +91,22 @@ EXTRACT_ROWS_SCHEMA = (
     "obj string, surface string, n_mentions int, n_triples int, is_error int"
 )
 
+_VALID_KINDS = frozenset({"turn", "mention", "triple"})
+
+
+def _validate_kinds(kinds):
+    """Fail fast on a misspelled/empty kinds tuple: without this a typo like
+    kinds=('triples',) silently produced an EMPTY extraction (all want_*
+    flags False) on the pandas/arrow paths and an IndexError on the native
+    path — three 'parity-pinned' implementations disagreeing on failure."""
+    if kinds is None:
+        return
+    if not kinds or not set(kinds) <= _VALID_KINDS:
+        raise ValueError(
+            f"kinds={kinds!r}: expected a non-empty subset of "
+            f"{sorted(_VALID_KINDS)} or None for all"
+        )
+
 
 def _extract_batch(conv_in, turn_in, text_in, gaz, kinds=None):
     """Shared per-row emit loop of extract_rows / extract_rows_arrow —
@@ -164,6 +180,7 @@ def extract_rows(
     rows than it receives), so the plan is scan -> mapInPandas — no nested
     columns, no separate explode, still zero shuffles.  ``kinds`` pushes
     the row-kind filter inside the Python stage (see _extract_batch)."""
+    _validate_kinds(kinds)
     alias_tuple = tuple(sorted(set(aliases)))
 
     def gen(batches):
@@ -231,6 +248,7 @@ def extract_rows_arrow(
     (pipeline.run_pipeline extractor="arrow") — the byte cut is what closes
     the 4N-side scaling gap on a shared DRAM bus.  Output is row-for-row
     identical (tests/test_extract.py::test_arrow_extraction_parity)."""
+    _validate_kinds(kinds)
     alias_tuple = tuple(sorted(set(aliases)))
 
     def gen(batches):
@@ -327,6 +345,7 @@ def extract_rows_native(
     functions only — scan stays in whole-stage codegen end to end.
     ``kinds`` drops whole union branches (the JVM analog of the Python-side
     kind pushdown)."""
+    _validate_kinds(kinds)
     gaz = _native_gazetteer_pattern(aliases)
     text = F.col("text")
     bad = text.isNull() | (text == "") | text.contains("\x00")

@@ -37,7 +37,11 @@ def collect_aliases(dictionary, max_aliases: int = 2_000_000) -> list:
     corpus size.  A dictionary 100x larger than designed would silently
     turn this collect into a driver-memory and task-serialization hazard,
     so the cap fails fast with the design context instead."""
-    n = dictionary.select(F.explode("aliases")).count()
+    # narrow agg, not explode+count: same number without materializing one
+    # row per alias across the cluster just to produce a scalar
+    n = dictionary.agg(
+        F.coalesce(F.sum(F.size("aliases")), F.lit(0)).alias("n")
+    ).collect()[0]["n"]
     if n > max_aliases:
         raise ValueError(
             f"entity dictionary has {n:,} aliases, above the "
@@ -105,6 +109,11 @@ def main(argv: list[str] | None = None) -> None:
     if args.merge_backend.startswith("iceberg:"):
         namespace = args.merge_backend.split(":", 1)[1]
         catalog = namespace.split(".", 1)[0]
+        if not namespace or not catalog:
+            raise SystemExit(
+                f"--merge-backend {args.merge_backend!r}: expected "
+                "iceberg:<catalog.namespace> (e.g. iceberg:lake.kg)"
+            )
         if not materialize.IcebergMergeSink.available(spark, catalog):
             raise SystemExit(
                 f"--merge-backend iceberg:{namespace} requires catalog "
@@ -112,11 +121,21 @@ def main(argv: list[str] | None = None) -> None:
                 f"(spark.sql.catalog.{catalog}=... plus the iceberg-spark-runtime jar)"
             )
         sink = materialize.IcebergMergeSink(spark, namespace)
-    else:
+    elif args.merge_backend == "parquet":
         sink = materialize.ParquetMergeSink(spark, args.out)
+    else:
+        # an unrecognized value must not silently fall back to parquet — the
+        # operator would believe the lakehouse tables were updated
+        raise SystemExit(
+            f"--merge-backend {args.merge_backend!r}: expected 'parquet' or "
+            "'iceberg:<catalog.namespace>'"
+        )
 
     if not args.resume:
         materialize.reset_output(args.out)
+        # the catalog tables too: insert-if-absent never deletes, so without
+        # this a non-resume Iceberg run keeps every stale row of prior runs
+        sink.reset(["triples", "nodes", "edges"])
 
     def process_bucket(bucket_df):
         res = pipeline.run_pipeline(

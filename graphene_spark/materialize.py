@@ -126,6 +126,11 @@ class ParquetMergeSink:
     def exists(self, name: str) -> bool:
         return os.path.exists(self.target(name))
 
+    def reset(self, names: list[str]) -> None:
+        for n in names:
+            if os.path.exists(self.target(n)):
+                shutil.rmtree(self.target(n))
+
 
 def build_merge_insert_sql(
     table: str, source_view: str, keys: list[str], columns: list[str]
@@ -190,25 +195,46 @@ class IcebergMergeSink:
             f"PARTITIONED BY (bucket({self.key_buckets}, {keys[0]}))"
         )
 
+    def _latest_snapshot(self, name: str):
+        """(snapshot_id, added_records) of the newest snapshot, or (None, 0).
+        snapshot_id DESC breaks committed_at millisecond ties."""
+        rows = self.spark.sql(
+            f"SELECT snapshot_id, summary['added-records'] AS n "
+            f"FROM {self.table(name)}.snapshots "
+            "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+        ).collect()
+        if not rows:
+            return None, 0
+        return rows[0]["snapshot_id"], int(rows[0]["n"] or 0)
+
     def merge_insert_absent(self, df: DataFrame, name: str, keys: list[str]) -> int:
         self._ensure_table(df, name, keys)
+        # snapshot BEFORE the merge: a MERGE that inserts nothing commits no
+        # new snapshot, so reading 'the latest summary' afterwards would
+        # return the PREVIOUS write's added-records (e.g. a replayed bucket
+        # would report the prior bucket's count instead of 0)
+        before_id, _ = self._latest_snapshot(name)
         view = f"_incoming_{uuid.uuid4().hex[:12]}"
         df.dropDuplicates(keys).createOrReplaceTempView(view)
         try:
             self.spark.sql(build_merge_insert_sql(self.table(name), view, keys, df.columns))
         finally:
             self.spark.catalog.dropTempView(view)
-        row = self.spark.sql(
-            f"SELECT summary['added-records'] AS n FROM {self.table(name)}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
-        ).collect()
-        return int(row[0]["n"]) if row and row[0]["n"] is not None else 0
+        after_id, added = self._latest_snapshot(name)
+        return added if after_id != before_id else 0
 
     def read(self, name: str) -> DataFrame:
         return self.spark.table(self.table(name))
 
     def exists(self, name: str) -> bool:
         return self.spark.catalog.tableExists(self.table(name))
+
+    def reset(self, names: list[str]) -> None:
+        """Drop the named tables — the catalog analog of wiping the parquet
+        output dir on a non-resume run (without this, insert-if-absent keeps
+        every stale row from previous runs and a 'fresh' run isn't fresh)."""
+        for n in names:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.table(n)} PURGE")
 
 
 def conv_bucket(col, n_buckets: int):

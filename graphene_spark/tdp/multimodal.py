@@ -123,8 +123,10 @@ def _average_hash(luma: np.ndarray) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
-def _parse_ppm_at(payload: bytes, offset: int) -> tuple[np.ndarray, int]:
-    """Parse one binary PPM starting at ``offset``; returns (pixels, end)."""
+def _parse_ppm_header(payload: bytes, offset: int) -> tuple[int, int, int, int]:
+    """Parse one binary-PPM header starting at ``offset``; returns
+    (width, height, data_start, end) WITHOUT touching the pixel bytes —
+    the frame walk uses this to skip unsampled frames at header cost."""
     if payload[offset : offset + 2] != b"P6":
         raise ValueError("not a P6 PPM at offset %d" % offset)
     pos = offset + 2
@@ -145,8 +147,13 @@ def _parse_ppm_at(payload: bytes, offset: int) -> tuple[np.ndarray, int]:
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError("only maxval=255 PPMs supported, got %d" % maxval)
-    end = pos + w * h * 3
-    pixels = np.frombuffer(payload[pos:end], dtype=np.uint8).reshape(h, w, 3)
+    return w, h, pos, pos + w * h * 3
+
+
+def _parse_ppm_at(payload: bytes, offset: int) -> tuple[np.ndarray, int]:
+    """Parse one binary PPM starting at ``offset``; returns (pixels, end)."""
+    w, h, data_start, end = _parse_ppm_header(payload, offset)
+    pixels = np.frombuffer(payload[data_start:end], dtype=np.uint8).reshape(h, w, 3)
     return pixels, end
 
 
@@ -221,10 +228,17 @@ def iter_video_frames(payload: bytes) -> Iterator[np.ndarray]:
 
 
 def decode_video_frame(payload: bytes, frame_idx: int) -> np.ndarray:
-    """Seek to frame ``frame_idx`` by walking the self-describing headers."""
-    for i, frame in enumerate(iter_video_frames(payload)):
-        if i == frame_idx:
-            return frame
+    """Seek to frame ``frame_idx`` by walking the self-describing headers —
+    skipped frames cost a header parse only, no pixel materialization."""
+    payload = bytes(payload)
+    pos = 0
+    idx = 0
+    while pos < len(payload):
+        if idx == frame_idx:
+            pixels, _ = _parse_ppm_at(payload, pos)
+            return pixels
+        _, _, _, pos = _parse_ppm_header(payload, pos)
+        idx += 1
     raise IndexError(f"frame {frame_idx} beyond end of stream")
 
 
@@ -332,21 +346,29 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
 def extract_video_frame_features(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Decode only the SAMPLED frames of each video (real P6 parse).
 
-    One payload pass per video: the frame walk stops at the last sampled
-    index, and the payload never leaves the narrow mapInPandas stage —
-    output rows are (media_id, frame_idx, mean_luma) work-unit results,
-    matching ``frame_sample_plan``'s row set."""
+    One payload pass per video: unsampled frames are skipped at
+    header-parse cost (no pixel materialization — frame count isn't known
+    until the stream ends, so the walk must reach EOF, but it only ever
+    decodes every_n-th frame), and the payload never leaves the narrow
+    mapInPandas stage — output rows are (media_id, frame_idx, mean_luma)
+    work-unit results, matching ``frame_sample_plan``'s row set."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "mean_luma": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for idx, frame in enumerate(iter_video_frames(payload)):
-                    if idx % every_n:
-                        continue
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(idx)
-                    out["mean_luma"].append(float(_luma(frame).mean()))
+                payload = bytes(payload)
+                pos = 0
+                idx = 0
+                while pos < len(payload):
+                    if idx % every_n == 0:
+                        frame, pos = _parse_ppm_at(payload, pos)
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["mean_luma"].append(float(_luma(frame).mean()))
+                    else:
+                        _, _, _, pos = _parse_ppm_header(payload, pos)
+                    idx += 1
             yield pd.DataFrame(out)
 
     videos = media.filter(F.col("kind") == "video").select("media_id", "payload")

@@ -251,3 +251,18 @@ def test_kind_pushdown_equals_post_filter(spark, dictionary_pdf, transcripts_df)
         for kind in ("turn", "mention", "triple"):
             pushed = fn(transcripts_df, aliases, kinds=(kind,))
             assert sig(pushed) == sig(full.filter(F.col("kind") == kind)), (fn.__name__, kind)
+
+
+def test_kinds_validation_fails_fast(spark, dictionary_pdf, transcripts_df):
+    """A misspelled or empty kinds tuple must raise on ALL three extractors
+    (previously: silent empty output on pandas/arrow, IndexError on native)."""
+    import pytest
+
+    from graphene_spark import pipeline
+
+    aliases = pipeline.all_aliases(dictionary_pdf)
+    for fn in (extract.extract_rows, extract.extract_rows_arrow, extract.extract_rows_native):
+        with pytest.raises(ValueError, match="non-empty subset"):
+            fn(transcripts_df, aliases, kinds=("triples",))  # plural typo
+        with pytest.raises(ValueError, match="non-empty subset"):
+            fn(transcripts_df, aliases, kinds=())

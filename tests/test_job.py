@@ -185,3 +185,16 @@ def test_run_with_lineage_accepts_sink(spark, transcripts_df, dictionary_df, dic
         spark, transcripts_df, out_dir, process_bucket, n_buckets=2, sink=sink
     )
     assert totals2 == {"buckets_run": 0, "buckets_skipped": 2}
+
+
+def test_parquet_sink_reset(spark, tmp_path):
+    """A non-resume run must start from empty tables: sink.reset drops them
+    (the Iceberg analog issues DROP TABLE ... PURGE)."""
+    sink = materialize.ParquetMergeSink(spark, str(tmp_path / "out"))
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    sink.merge_insert_absent(df, "t", ["k"])
+    assert sink.exists("t")
+    sink.reset(["t", "never_written"])
+    assert not sink.exists("t")
+    # fresh insert after reset sees an empty table
+    assert sink.merge_insert_absent(df, "t", ["k"]) == 1
