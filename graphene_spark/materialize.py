@@ -46,12 +46,22 @@ def _append_parquet(df: DataFrame, path: str) -> None:
 KEY_BUCKETS = 64  # key-hash partition count of merged tables
 
 
+def layout_bucket(cols: list[str], n_buckets: int = KEY_BUCKETS):
+    """The ``_kb`` layout-partition expression of a merged table.
+
+    Factored out so READERS that want partition pruning (e.g. the streaming
+    dedup index probe) compute the exact same hash the writer laid the table
+    out with — a reader using a different hash silently reads zero rows."""
+    return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
+
+
 def merge_insert_absent(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     keys: list[str],
     key_buckets: int = KEY_BUCKETS,
+    layout_keys: list[str] | None = None,
 ) -> int:
     """Insert-if-absent on ``keys`` (idempotent MERGE).  Returns rows inserted.
 
@@ -59,13 +69,31 @@ def merge_insert_absent(
     anti-join against existing data reads ONLY the partitions the incoming
     batch touches (partition pruning) instead of the whole table — the
     parquet emulation of Iceberg's MERGE INTO on a bucket-partitioned table.
-    Without this, a B-bucket resumable run costs O(B^2) table scans."""
+    Without this, a B-bucket resumable run costs O(B^2) table scans.
+
+    ``layout_keys`` (default: ``keys``) picks WHICH columns the ``_kb``
+    layout hashes — the Iceberg analog of choosing the table's PARTITIONED BY
+    transform independently of the MERGE identity key.  It must be a SUBSET
+    of ``keys``: then equal identity keys imply equal layout keys imply equal
+    ``_kb``, so the touched-partition pruning of the anti-join stays sound.
+    Use it when readers probe the table on a different key than the identity
+    (the streaming dedup band index probes on (band_idx, band_sig) while the
+    row identity also carries doc_id)."""
+    lk = layout_keys or keys
+    missing = [c for c in lk if c not in keys]
+    if missing:
+        raise ValueError(
+            f"layout_keys {lk} must be a subset of identity keys {keys} "
+            f"(violators: {missing}) — otherwise two rows with equal identity "
+            "keys can land in different _kb partitions and the pruned "
+            "anti-join re-inserts duplicates"
+        )
     # persist: three actions follow (touched-bucket collect, count, write) —
     # without it the incoming frame's full upstream pipeline re-executes per
     # action, tripling the cost of every merge on the hot path
     base = (
         df.dropDuplicates(keys)
-        .withColumn("_kb", F.pmod(F.xxhash64(*keys), F.lit(key_buckets)).cast("int"))
+        .withColumn("_kb", layout_bucket(lk, key_buckets))
         .persist()
     )
     incoming = base
@@ -98,6 +126,64 @@ def merge_insert_absent(
 def read_merged(spark: SparkSession, path: str) -> DataFrame:
     """Read a merged table without the layout column."""
     return spark.read.parquet(path).drop("_kb")
+
+
+def read_merged_pruned(
+    spark: SparkSession,
+    path: str,
+    layout_keys: list[str],
+    probe: DataFrame,
+    key_buckets: int = KEY_BUCKETS,
+) -> DataFrame:
+    """Read a merged table restricted to the ``_kb`` partitions that could
+    hold any of ``probe``'s layout-key values — a partition-PRUNED scan (the
+    filter is on the hive partition column, so untouched ``_kb=`` directories
+    are never opened; assert via ``df.inputFiles()``).
+
+    ``probe`` must carry the ``layout_keys`` columns and MUST be small after
+    ``.distinct()`` on them (the bucket set is collected to the driver; it is
+    bounded by ``key_buckets``, so the collect is at most that many ints).
+    The caller still needs its exact key join/semi-join on top — this only
+    narrows the scan to candidate partitions, the Iceberg/bucket-join analog
+    of MERGE touching only the buckets the source hits."""
+    touched = [
+        r["_kb"]
+        for r in probe.select(layout_bucket(layout_keys, key_buckets).alias("_kb"))
+        .distinct()
+        .collect()
+    ]
+    return spark.read.parquet(path).filter(F.col("_kb").isin(touched)).drop("_kb")
+
+
+def compact_merged(spark: SparkSession, path: str) -> dict:
+    """Rewrite a merged table so each ``_kb`` partition holds ONE file.
+
+    Every ``merge_insert_absent`` call appends at least one file per touched
+    partition, so a long-running incremental stream accumulates thousands of
+    small files and the probe's pruned scan degrades into a file-listing
+    storm.  This is the parquet emulation of Iceberg's ``rewrite_data_files``
+    maintenance action: read the table, rewrite one file per partition into a
+    side directory, then atomically swap directories (crash mid-compaction
+    leaves the original table untouched).
+
+    Returns {"files_before", "files_after", "rows"} for the caller's lineage.
+    """
+    df = spark.read.parquet(path)
+    files_before = len(df.inputFiles())
+    rows = df.count()
+    tmp = path.rstrip("/") + ".compact.tmp"
+    old = path.rstrip("/") + ".compact.old"
+    for d in (tmp, old):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    # one shuffle keyed on the layout column -> exactly one task (and so one
+    # file) per _kb partition value
+    df.repartition(F.col("_kb")).write.partitionBy("_kb").parquet(tmp)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old)
+    files_after = len(spark.read.parquet(path).inputFiles())
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}
 
 
 # ---------------------------------------------------------------------------

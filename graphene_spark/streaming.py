@@ -122,8 +122,13 @@ def dedup_batch(
     scanned in full.  State layout under ``out_dir``:
 
     * ``accepted``   — the curated corpus (insert-if-absent on doc_id);
-    * ``band_index`` — (_id, band_idx, band_sig, _sig) rows (insert-if-
-      absent on (doc_id, band_idx)).
+    * ``band_index`` — (_id, band_idx, band_sig, _sig) rows; identity key
+      (doc_id, band_idx, band_sig), LAID OUT by the probe key
+      (band_idx, band_sig) — ``merge_insert_absent(layout_keys=...)`` — so
+      the per-batch probe partition-prunes to the touched ``_kb`` buckets
+      instead of scanning the index (layout ⊆ identity keeps the merge's
+      pruned anti-join sound).  ``compact_dedup_state`` is the maintenance
+      entry point: re-merge the per-batch small files to one per bucket.
 
     Exactly-once under replays: both appends are keyed merges, and the
     batch's OWN ids are anti-joined out of the index view before anything
@@ -141,13 +146,16 @@ def dedup_batch(
     parameters hash different signature slices and would silently match
     near-nothing.
 
-    Index-scan cost: the index is first semi-joined to the batch's distinct
-    band keys (whole buckets survive, so per-bucket cap counts are
-    unchanged), so the cap window sorts only the touched buckets; at
-    100 TB keep the index laid out by band_sig (bucket/Z-order) so that
-    semi-join partition-prunes instead of scanning — the parquet emulation
-    reads it fully, the same trade materialize.py documents for the MERGE
-    sink.  Amortize per-batch overhead with availableNow batching.
+    Index-scan cost: the index read is partition-pruned to the ``_kb``
+    buckets of the batch's distinct band keys (the layout hashes the probe
+    key, so untouched partitions are never opened), then semi-joined to the
+    exact touched band keys (whole buckets survive, so per-bucket cap counts
+    are unchanged) — the cap window sorts a batch-sized slice of the index,
+    and at 100 TB of history a batch touching b band keys reads
+    ``min(b, key_buckets)/key_buckets`` of the index, not all of it.
+    Amortize per-batch overhead with availableNow batching and run
+    ``compact_dedup_state`` periodically to fold the per-batch appended
+    files back to one per bucket.
 
     Returns counters {"arrived", "in_batch_dups", "index_dups",
     "already_present", "accepted"}.
@@ -158,7 +166,16 @@ def dedup_batch(
 
     from .tdp import dedup as dd
 
-    params = {"ngram_words": ngram_words, "num_hashes": num_hashes, "bands": bands}
+    # index_layout 2 = band_index laid out by (band_idx, band_sig) with
+    # identity (doc_id, band_idx, band_sig).  Frozen with the LSH params: a
+    # layout-1 index (keyed/laid out on (doc_id, band_idx)) would be pruned
+    # with the wrong hash and silently probe empty.
+    params = {
+        "ngram_words": ngram_words,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "index_layout": 2,
+    }
     params_path = os.path.join(out_dir, "_dedup_params.json")
     if os.path.exists(params_path):
         with open(params_path) as f:
@@ -193,12 +210,17 @@ def dedup_batch(
     # different accept/reject decisions for OTHER docs in the batch,
     # breaking the replay-invariance contract below.
     other_cols = [c for c in batch_df.columns if c != id_col]
-    batch_df = (
-        batch_df.groupBy(id_col)
-        .agg(F.min(F.struct(*other_cols)).alias("_rep"))
-        .select(id_col, *[F.col(f"_rep.{c}").alias(c) for c in other_cols])
-        .persist()
-    )
+    if other_cols:
+        batch_df = (
+            batch_df.groupBy(id_col)
+            .agg(F.min(F.struct(*other_cols)).alias("_rep"))
+            .select(id_col, *[F.col(f"_rep.{c}").alias(c) for c in other_cols])
+            .persist()
+        )
+    else:
+        # id-only frame: F.struct() of zero columns fails analysis, and the
+        # id IS the whole row, so plain distinct is already deterministic
+        batch_df = batch_df.dropDuplicates([id_col]).persist()
     arrived = batch_df.count()
     # 1. in-batch dedup: for every candidate pair the greater id is dropped
     # (pairwise smaller-id-wins).  NOTE this is deliberately NOT the
@@ -228,21 +250,26 @@ def dedup_batch(
     accepted_path = os.path.join(out_dir, "accepted")
     n_index_dups = 0
     index_dup_ids = None
+    batch_band_keys = None
     if os.path.exists(index_path):
         batch_ids = banded.select(F.col("_id").alias(id_col)).distinct()
+        batch_band_keys = banded.select("band_idx", "band_sig").distinct().persist()
         idx = (
-            materialize.read_merged(spark, index_path)
+            # partition-pruned scan: the index is LAID OUT by
+            # (band_idx, band_sig), so only the _kb partitions this batch's
+            # band keys hash into are opened (inputFiles-pinned by
+            # tests/test_streaming.py) — at 100 TB of history the probe cost
+            # scales with the batch, not the index
+            materialize.read_merged_pruned(
+                spark, index_path, ["band_idx", "band_sig"], batch_band_keys
+            )
             # replay safety FIRST: the batch's own (possibly half-written)
             # rows must be invisible to both the cap counts and the match
             .join(batch_ids, id_col, "left_anti")
             # touched buckets only: whole buckets survive the semi-join, so
             # the cap semantics are identical but the window sorts a
             # batch-sized slice of the index, not all of it
-            .join(
-                banded.select("band_idx", "band_sig").distinct(),
-                ["band_idx", "band_sig"],
-                "left_semi",
-            )
+            .join(batch_band_keys, ["band_idx", "band_sig"], "left_semi")
         )
         # residual hot-band cap on the INDEX side (same rationale as
         # minhash_duplicates: one degenerate band value over the full
@@ -295,11 +322,15 @@ def dedup_batch(
     survivors = survivors.persist()
     n_survive = survivors.count()
     n_acc = materialize.merge_insert_absent(spark, survivors, accepted_path, [id_col])
+    # identity carries band_sig so it determines the (band_idx, band_sig)
+    # layout (merge_insert_absent requires layout ⊆ identity); a replay
+    # re-derives the same sig from the same text, so idempotency holds
     materialize.merge_insert_absent(
         spark,
         banded.withColumnsRenamed({"_id": id_col}),
         index_path,
-        [id_col, "band_idx"],
+        [id_col, "band_idx", "band_sig"],
+        layout_keys=["band_idx", "band_sig"],
     )
     n_in_batch = arrived - n_survive - n_index_dups
     survivors.unpersist()
@@ -308,6 +339,8 @@ def dedup_batch(
         # a long-running stream would otherwise accumulate one cached frame
         # per micro-batch until the ContextCleaner happens to GC it
         index_dup_ids.unpersist()
+    if batch_band_keys is not None:
+        batch_band_keys.unpersist()
     return {
         "arrived": arrived,
         "in_batch_dups": n_in_batch,
@@ -317,6 +350,25 @@ def dedup_batch(
         "already_present": n_survive - n_acc,
         "accepted": n_acc,
     }
+
+
+def compact_dedup_state(spark: SparkSession, out_dir: str) -> dict:
+    """Maintenance: fold the dedup state's per-batch small files back to one
+    file per ``_kb`` bucket (Iceberg ``rewrite_data_files`` analog).
+
+    Every micro-batch appends at least one file per touched partition of
+    ``band_index`` and ``accepted``; after thousands of batches the probe's
+    pruned scan pays a file-listing storm even though it opens few bytes.
+    Run this between triggers (the stream must be stopped or idle — the swap
+    is atomic per table but a concurrent merge could append into the old
+    directory).  Returns per-table {"files_before", "files_after", "rows"}.
+    """
+    out = {}
+    for name in ("band_index", "accepted"):
+        p = os.path.join(out_dir, name)
+        if os.path.exists(p):
+            out[name] = materialize.compact_merged(spark, p)
+    return out
 
 
 def stream_dedup_documents(

@@ -120,6 +120,114 @@ def test_stream_dedup_documents_end_to_end(spark, tmp_path):
     assert lin.filter("status = 'done'").count() >= 2
 
 
+def test_band_index_probe_is_partition_pruned(spark, tmp_path):
+    """The scale contract of dedup-at-ingest (VERDICT r4 task #1): the
+    band-index probe must read ONLY the ``_kb`` partitions the batch's band
+    keys hash into — pinned on the actual files the pruned scan lists, so a
+    layout regression (hashing the wrong columns, or filtering after read)
+    fails here instead of at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from graphene_spark import materialize
+
+    out = str(tmp_path / "dedup")
+    rows = [(i, f"document number {i} body with its own distinct words {i*7}", "s1")
+            for i in range(1, 41)]
+    streaming.dedup_batch(spark, spark.createDataFrame(rows, streaming.DOCUMENTS_SCHEMA), out)
+
+    index_path = out + "/band_index"
+    full = spark.read.parquet(index_path)
+    all_kbs = {r["_kb"] for r in full.select("_kb").distinct().collect()}
+    assert len(all_kbs) > 1, "fixture too small to exercise pruning"
+
+    # probe with ONE existing band key -> exactly one _kb partition touched
+    one = full.select("band_idx", "band_sig").limit(1).persist()
+    probe_kb = one.select(
+        materialize.layout_bucket(["band_idx", "band_sig"]).alias("_kb")
+    ).collect()[0]["_kb"]
+
+    # behavioral pruning pin: plant a poison row inside an UNTOUCHED _kb
+    # partition directory.  A pruned scan never opens that partition, so the
+    # poison is invisible; if pruning regresses (filter after read, wrong
+    # hash, filter dropped) the poison row surfaces and this fails.
+    import glob
+    import shutil
+
+    other_kb = next(k for k in all_kbs if k != probe_kb)
+    part_dir = f"{index_path}/_kb={other_kb}"
+    poison = (
+        spark.read.parquet(part_dir)
+        .limit(1)
+        .withColumn("band_idx", F.lit(-999).cast(full.schema["band_idx"].dataType))
+    )
+    tmp_poison = str(tmp_path / "poison")
+    poison.write.parquet(tmp_poison)
+    src = glob.glob(tmp_poison + "/part-*.parquet")[0]
+    shutil.copy(src, part_dir + "/poison.parquet")
+
+    pruned = materialize.read_merged_pruned(spark, index_path, ["band_idx", "band_sig"], one)
+    assert pruned.filter(F.col("band_idx") == -999).count() == 0
+    # and the pruned slice still contains the probed key's bucket
+    assert pruned.join(one, ["band_idx", "band_sig"], "left_semi").count() >= 1
+    # the poison IS visible to an unpruned read (proves the plant worked)
+    assert spark.read.parquet(index_path).filter(F.col("band_idx") == -999).count() == 1
+    one.unpersist()
+
+    # the layout hash must match the writer's: every index row's stored _kb
+    # equals layout_bucket(band_idx, band_sig) recomputed reader-side
+    mismatches = full.filter(
+        F.col("_kb") != materialize.layout_bucket(["band_idx", "band_sig"])
+    ).count()
+    assert mismatches == 0
+
+
+def test_merge_layout_keys_must_be_subset_of_identity():
+    from graphene_spark import materialize
+
+    with pytest.raises(ValueError, match="subset of identity keys"):
+        # validation happens before any Spark work, so no df is needed
+        materialize.merge_insert_absent(None, None, "/nonexistent", ["a"], layout_keys=["a", "b"])
+
+
+def test_compact_dedup_state_folds_files_and_preserves_decisions(spark, tmp_path):
+    """Compaction rewrites each _kb partition to one file without changing
+    the row set, and a post-compaction batch still probes correctly."""
+    out = str(tmp_path / "dedup")
+    base = "a very repetitive crawl body that will be duplicated much later on"
+    for i, txt in enumerate(
+        [base, "second unrelated body of text with its own vocabulary",
+         "third body about spark shuffles and partition pruning at scale"]
+    ):
+        streaming.dedup_batch(
+            spark,
+            spark.createDataFrame([(i + 1, txt, "s1")], streaming.DOCUMENTS_SCHEMA),
+            out,
+        )
+    index_path = out + "/band_index"
+    def _hashable(r):
+        return tuple(tuple(v) if isinstance(v, list) else v for v in r)
+
+    before = spark.read.parquet(index_path)
+    before_rows = {_hashable(r) for r in before.collect()}
+    n_parts = before.select("_kb").distinct().count()
+    assert len(before.inputFiles()) > n_parts  # per-batch appends piled up
+
+    stats = streaming.compact_dedup_state(spark, out)
+    assert stats["band_index"]["files_after"] == n_parts
+    assert stats["band_index"]["rows"] == len(before_rows)
+    after = spark.read.parquet(index_path)
+    assert {_hashable(r) for r in after.collect()} == before_rows
+
+    # the compacted index still rejects a near-dup of batch-1's acceptance
+    c = streaming.dedup_batch(
+        spark,
+        spark.createDataFrame([(99, base + " extra", "s2")], streaming.DOCUMENTS_SCHEMA),
+        out,
+        threshold=0.7,
+    )
+    assert c["index_dups"] == 1 and c["accepted"] == 0
+
+
 def test_dedup_batch_rejects_param_mismatch(spark, tmp_path):
     """LSH parameters are frozen with the persisted index: bands built with
     different parameters hash different signature slices and would silently
