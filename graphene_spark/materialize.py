@@ -238,6 +238,57 @@ def build_merge_insert_sql(
     )
 
 
+_MERGE_SHAPE = None  # compiled lazily; see merge_insert_sql_to_exists_form
+
+
+def merge_insert_sql_to_exists_form(sql: str) -> str:
+    """Mechanically rewrite a ``build_merge_insert_sql`` statement into the
+    ANSI ``INSERT ... SELECT ... WHERE NOT EXISTS`` equivalent.
+
+    Two purposes:
+
+    * a fallback sink path for engines without MERGE support (generic JDBC
+      targets, older warehouse engines);
+    * OFFLINE EXECUTION EVIDENCE for the Iceberg backend: this sandbox has
+      no Iceberg runtime jar and no network, so the exact MERGE text cannot
+      execute here — instead the parity test derives this form FROM the
+      generated MERGE string and executes it in DuckDB against mirrored
+      tables, asserting row-set + insert-count parity with ParquetMergeSink
+      (tests/test_job.py).  The only transformations are structural
+      (MERGE -> INSERT/NOT EXISTS) and ``<=>`` -> ``IS NOT DISTINCT FROM``
+      (the same null-safe equality under another spelling).
+
+    Valid ONLY for the WHEN-NOT-MATCHED-THEN-INSERT-only shape this module
+    generates, with a key-unique source (the sinks dropDuplicates on the
+    identity keys first): both forms evaluate the match against the target
+    as of statement start, so they insert identical row sets.  Raises on any
+    other statement shape rather than guessing.
+    """
+    import re
+
+    global _MERGE_SHAPE
+    if _MERGE_SHAPE is None:
+        _MERGE_SHAPE = re.compile(
+            r"\AMERGE INTO (?P<table>\S+) t\n"
+            r"USING (?P<view>\S+) s\n"
+            r"ON (?P<on>.+)\n"
+            r"WHEN NOT MATCHED THEN INSERT \((?P<cols>[^)]*)\) "
+            r"VALUES \((?P<vals>[^)]*)\)\Z"
+        )
+    m = _MERGE_SHAPE.match(sql)
+    if m is None:
+        raise ValueError(
+            "merge_insert_sql_to_exists_form only rewrites the insert-if-absent "
+            f"MERGE shape produced by build_merge_insert_sql; got: {sql!r}"
+        )
+    on = m["on"].replace(" <=> ", " IS NOT DISTINCT FROM ")
+    return (
+        f"INSERT INTO {m['table']} ({m['cols']})\n"
+        f"SELECT {m['vals']} FROM {m['view']} s\n"
+        f"WHERE NOT EXISTS (SELECT 1 FROM {m['table']} t WHERE {on})"
+    )
+
+
 class IcebergMergeSink:
     """Real ``MERGE INTO`` against an Iceberg catalog (the 100 TB path).
 
