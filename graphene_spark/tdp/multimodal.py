@@ -147,7 +147,16 @@ def _parse_ppm_header(payload: bytes, offset: int) -> tuple[int, int, int, int]:
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError("only maxval=255 PPMs supported, got %d" % maxval)
-    return w, h, pos, pos + w * h * 3
+    end = pos + w * h * 3
+    if end > len(payload):
+        # must fail at HEADER parse: the frame-walk skip path never touches
+        # pixel bytes, so without this a truncated final video frame was
+        # silently skipped over (frame count off by one) instead of rejected
+        raise ValueError(
+            "truncated PPM payload: frame at offset %d needs %d bytes, have %d"
+            % (offset, end - offset, len(payload) - offset)
+        )
+    return w, h, pos, end
 
 
 def _parse_ppm_at(payload: bytes, offset: int) -> tuple[np.ndarray, int]:

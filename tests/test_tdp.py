@@ -251,6 +251,25 @@ def test_multimodal_video_decode_real(spark):
         multimodal.decode_video_frame(next(iter(payloads.values())), 999)
 
 
+def test_multimodal_truncated_ppm_rejected_on_both_paths():
+    """A truncated final video frame must surface at header-parse time on
+    BOTH the decode path and the header-walk skip path — without the length
+    check the skip path silently under-counted frames (round-4 ADVICE)."""
+    import numpy as np
+
+    frames = [multimodal._gradient(4, 4, phase=p) for p in range(3)]
+    payload = multimodal.encode_video_ppm(frames)
+    truncated = payload[:-5]  # last frame loses its final pixel bytes
+    with pytest.raises(ValueError, match="truncated PPM payload"):
+        list(multimodal.iter_video_frames(truncated))  # decode path
+    with pytest.raises(ValueError, match="truncated PPM payload"):
+        # seek PAST the damaged frame = pure header-walk skip path (the old
+        # behavior skipped over it and raised IndexError, miscounting frames)
+        multimodal.decode_video_frame(truncated, 5)
+    # intact payloads are unaffected
+    assert len(list(multimodal.iter_video_frames(payload))) == 3
+
+
 # ---------------------------------------------------------------------------
 # round-3: identical-content clusters larger than the bucket cap must not
 # lose their pairs (round-2 ADVICE: identical texts share every band_sig, so
