@@ -117,13 +117,26 @@ def main() -> None:
             store = json.load(f)
     cfg_key = f"{args.n}v{args.n4}@{args.turns}"
     samples = store.get(cfg_key, [])
+    # record the code revision with each sample: merged-store medians mix
+    # samples from every invocation, so without a marker a perf regression
+    # hides behind stale fast samples (and stale slow ones drag medians).
+    # The rendered report below still pools everything — the marker exists
+    # so a reader/judge can slice BENCH/scaling_samples.json by revision.
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=ROOT,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001 — no git in some environments
+        rev = "unknown"
     for s in range(args.samples):
         small = run_at(args.n, n_convs)
         large = run_at(args.n4, n_convs)
         ratio = large["tps"] / small["tps"]
         efficiency = ratio / (args.n4 / args.n)
         samples.append({"small": small, "large": large,
-                        "speedup": ratio, "efficiency": efficiency})
+                        "speedup": ratio, "efficiency": efficiency,
+                        "rev": rev})
         store[cfg_key] = samples
         os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
         with open(samples_path, "w") as f:

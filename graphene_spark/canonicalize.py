@@ -55,13 +55,18 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
-    """edges(src bigint, dst bigint) -> (id bigint, component bigint).
+def connected_components_with_stats(
+    edges: DataFrame, max_iter: int = 30
+) -> tuple[DataFrame, int]:
+    """``connected_components`` plus the number of star rounds executed.
 
-    Alternating large-star / small-star (Kiveris et al., SOCC'14): converges
-    in O(log^2 n) rounds to a star graph whose centers are component minima.
-    component = min node id reachable.  Undirected; self-loops ignored.
-    localCheckpoint each round truncates lineage so the plan stays bounded.
+    The round count is the scale-critical quantity: each round costs two
+    shuffles over the edge list, so a graph that needs R rounds costs ~2R
+    edge shuffles end to end.  Theory bound is O(log^2 n) (Kiveris et al.,
+    SOCC'14 Thm 2); in practice alternating rounds track ~log2(n) even on
+    path graphs — pinned at 10M-edge scale by
+    tests/test_graph.py::test_cc_rounds_bounded_at_scale and measured in
+    BENCH/NOTES.md (scripts/bench_cc.py).
     """
     e = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
@@ -75,10 +80,12 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     )
     cur = _symmetrize(e).localCheckpoint()
     prev_sig = None
+    rounds = 0
     for _ in range(max_iter):
         # large-star consumes a symmetric adjacency list; small-star orients
         # internally (greatest/least), so no symmetrize between them
         cur = _small_star(_large_star(_symmetrize(cur))).localCheckpoint()
+        rounds += 1
         # fixpoint signature: star edges are (node -> center); stable when the
         # multiset of edges stops changing
         sig = cur.agg(
@@ -91,12 +98,25 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         prev_sig = sig
     # final star edges map member -> center (component min)
     members = cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))
-    return (
+    result = (
         vertices.join(members, "id", "left")
         .select("id", F.coalesce("component", "id").alias("component"))
         .groupBy("id")
         .agg(F.min("component").alias("component"))
     )
+    return result, rounds
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """edges(src bigint, dst bigint) -> (id bigint, component bigint).
+
+    Alternating large-star / small-star (Kiveris et al., SOCC'14): converges
+    in O(log^2 n) rounds to a star graph whose centers are component minima.
+    component = min node id reachable.  Undirected; self-loops ignored.
+    localCheckpoint each round truncates lineage so the plan stays bounded.
+    """
+    result, _ = connected_components_with_stats(edges, max_iter=max_iter)
+    return result
 
 
 def canonical_entities(dictionary: DataFrame, synonym_pairs: DataFrame | None = None) -> DataFrame:

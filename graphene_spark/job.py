@@ -109,7 +109,11 @@ def main(argv: list[str] | None = None) -> None:
     if args.merge_backend.startswith("iceberg:"):
         namespace = args.merge_backend.split(":", 1)[1]
         catalog = namespace.split(".", 1)[0]
-        if not namespace or not catalog:
+        # '.' is required, not just non-emptiness: 'iceberg:lake' passes the
+        # emptiness checks (namespace == catalog == 'lake') but resolves
+        # tables to 'lake.triples' with no namespace part, failing later
+        # with a confusing catalog error instead of this message
+        if not namespace or not catalog or "." not in namespace:
             raise SystemExit(
                 f"--merge-backend {args.merge_backend!r}: expected "
                 "iceberg:<catalog.namespace> (e.g. iceberg:lake.kg)"

@@ -94,11 +94,18 @@ def run_pipeline(
     # but skips the pandas materialization on both ends of every batch,
     # which cuts the Arrow-transfer memory traffic that bounds large-N
     # scaling on a shared DRAM bus (BENCH/BASELINE.md analysis).
-    extract_fn = {
+    extractors = {
         "arrow": extract.extract_rows_arrow,
         "pandas": extract.extract_rows,
         "native": extract.extract_rows_native,
-    }[extractor]
+    }
+    if extractor not in extractors:
+        # fail fast with context — a bare KeyError('arow') gives the caller
+        # no hint of the valid options (same contract as _validate_kinds)
+        raise ValueError(
+            f"unknown extractor {extractor!r}: expected one of {sorted(extractors)}"
+        )
+    extract_fn = extractors[extractor]
     # the full-kind frame is returned for callers ("extracted"); each
     # downstream branch re-runs the cheap narrow stage with the kind filter
     # PUSHED INSIDE the Python boundary (extract._extract_batch docstring) —

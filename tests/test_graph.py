@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from graphene_spark import canonicalize, graph
 
@@ -110,3 +111,46 @@ def test_canonicalize_ignores_identity_free_aliases(spark):
     out = {r["entity_id"]: r["canonical_id"]
            for r in canonicalize.canonical_entities(dic).collect()}
     assert out == {1: 1, 2: 2, 3: 3}
+
+
+@pytest.mark.slow
+def test_cc_rounds_bounded_at_scale(spark):
+    """Star-contraction depth pin at scale (round-4 VERDICT task #4): on a
+    skewed component mix — one giant PATH component (the depth worst case)
+    plus stars/triangles/pairs — rounds-to-fixpoint must stay within
+    ceil(log2(n_nodes)) + 2, and the full component-size multiset must match
+    the construction exactly.  A regression to propagation-style CC (rounds
+    ~ diameter) fails this immediately: the giant path's diameter is ~6000x
+    the bound.  Full 10.4M-edge evidence: scripts/bench_cc.py + BENCH/NOTES.md
+    (same harness, scale 1.0)."""
+    import importlib.util
+    import math
+    import os
+
+    import pyspark.sql.functions as F
+
+    from graphene_spark import canonicalize
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_cc",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "bench_cc.py"),
+    )
+    bench_cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_cc)
+
+    scale = float(os.environ.get("TEST_CC_SCALE", "0.05"))  # ~520k edges
+    edges, expected = bench_cc.build_skewed_edges(spark, scale)
+    cc, rounds = canonicalize.connected_components_with_stats(
+        edges.repartition(32), max_iter=40
+    )
+    sizes = {
+        r["sz"]: r["n_comp"]
+        for r in cc.groupBy("component").agg(F.count("*").alias("sz"))
+        .groupBy("sz").agg(F.count("*").alias("n_comp")).collect()
+    }
+    n_nodes = sum(sz * n for sz, n in expected.items())
+    assert sizes == expected
+    assert rounds <= math.ceil(math.log2(n_nodes)) + 2, (
+        f"{rounds} rounds at {n_nodes} nodes exceeds the log2(n)+2 envelope"
+    )

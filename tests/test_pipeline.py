@@ -79,3 +79,15 @@ def test_broadcast_and_salted_linking_agree(
     tb = set(map(tuple, r_b["triples"].select("subj", "pred", "obj").collect()))
     ts = set(map(tuple, r_s["triples"].select("subj", "pred", "obj").collect()))
     assert tb == ts
+
+
+def test_run_pipeline_rejects_unknown_extractor(spark, transcripts_df, dictionary_df, dictionary_pdf):
+    """A typo'd extractor must fail fast with the valid options listed, not
+    as a bare KeyError (round-4 ADVICE)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown extractor 'arow'.*arrow.*native.*pandas"):
+        pipeline.run_pipeline(
+            spark, transcripts_df, dictionary_df,
+            pipeline.all_aliases(dictionary_pdf), extractor="arow",
+        )
