@@ -17,6 +17,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from . import rules
+
 
 def _symmetrize(e: DataFrame) -> DataFrame:
     return e.unionByName(
@@ -131,7 +133,7 @@ def canonical_entities(dictionary: DataFrame, synonym_pairs: DataFrame | None = 
         dictionary.select("entity_id", F.explode("aliases").alias("alias"))
         .withColumn(
             "alias_norm",
-            F.trim(F.regexp_replace(F.lower(F.col("alias")), r"(?U)[\s_\-]+", " ")),
+            F.trim(F.regexp_replace(F.lower(F.col("alias")), rules.GAP_CLASS, " ")),
         )
         # aliases that normalize to '' ('-', '_', whitespace) carry no
         # identity: without this filter every entity holding one would merge

@@ -217,7 +217,7 @@ def mentions_from_rows(rows: DataFrame) -> DataFrame:
         "conv_id",
         "turn_idx",
         "surface",
-        F.trim(F.regexp_replace(F.lower(F.col("surface")), r"(?U)[\s_\-]+", " ")).alias("norm"),
+        F.trim(F.regexp_replace(F.lower(F.col("surface")), rules.GAP_CLASS, " ")).alias("norm"),
     )
 
 
@@ -304,22 +304,19 @@ def extract_rows_arrow(
 # variant remains as a dependency-free fallback and a second implementation
 # that cross-checks the grammar.
 
-# \b anchors mirror the frozen rules patterns exactly (Java regex supports
-# \b): without them a word-prefixed keyword ('Xis_a GO:1 ! y', 'Pxref A:v')
-# matched in the native path only, breaking pandas<->native parity
-_NATIVE_ONTO = r"\b([a-z_]+) ([A-Z][A-Z0-9]{1,9}):0*(\d+) ! ([^.;|\n]*)"
-# mirrors rules.XREF_PATTERN (Java dialect): value stops before ' (' and
-# before a following keyword — keep the two in lockstep (parity test)
-_NATIVE_XREF = (
-    r"\bxref ([A-Za-z][A-Za-z0-9_]*):"
-    r"((?:(?!\s\()(?!\s(?:xref|has_rank|synonym:)\s)[^.;,\n])+)"
-)
-_NATIVE_RANK = r"\bhas_rank NCBITaxon:(\w+)\b"
-_NATIVE_SYN = r"\bsynonym: ([^.;|\n]+)"
+# THE SAME pattern strings the Python extractors compile (rules.*_SRC):
+# the grammar is written dialect-neutral — explicit Unicode-White_Space
+# classes and [A-Za-z0-9_] lookarounds instead of \s/\w/\b/\d, whose
+# membership differs between Python re and java.util.regex (rules.py
+# WS_CHARS comment; fuzz-pinned by test_fuzzed_three_way_extractor_parity)
+_NATIVE_ONTO = rules.ONTOLOGY_SRC
+_NATIVE_XREF = rules.XREF_SRC
+_NATIVE_RANK = rules.RANK_SRC
+_NATIVE_SYN = rules.SYNONYM_SRC
 
 
 def _native_norm(col):
-    return F.trim(F.regexp_replace(F.lower(col), r"(?U)[\s_\-]+", " "))
+    return F.trim(F.regexp_replace(F.lower(col), rules.GAP_CLASS, " "))
 
 
 def _native_gazetteer_pattern(aliases: list[str]) -> str:
@@ -332,7 +329,7 @@ def _native_gazetteer_pattern(aliases: list[str]) -> str:
         key=len,
         reverse=True,
     )
-    parts = [r"(?U)[\s_\-]+".join(_re.escape(t) for t in n.split(" ")) for n in norms]
+    parts = [rules.GAP_CLASS.join(_re.escape(t) for t in n.split(" ")) for n in norms]
     if not parts:
         parts = [r"(?!x)x"]
     return r"(?i)(?<![A-Za-z0-9])(" + "|".join(parts) + r")(?![A-Za-z0-9])"

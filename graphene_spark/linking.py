@@ -24,6 +24,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from . import rules
+
 DEFAULT_SALT = 8
 
 
@@ -41,7 +43,7 @@ def alias_map(dictionary: DataFrame) -> DataFrame:
         )
         .withColumn(
             "alias_norm",
-            F.trim(F.regexp_replace(F.lower(F.col("alias")), r"(?U)[\s_\-]+", " ")),
+            F.trim(F.regexp_replace(F.lower(F.col("alias")), rules.GAP_CLASS, " ")),
         )
         # identity-free aliases ('-', '_', whitespace-only) must not become
         # a join key: a mention can never normalize to '' (the gazetteer

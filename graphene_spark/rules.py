@@ -41,11 +41,31 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass
 
-# --- frozen patterns ---------------------------------------------------------
-
-ONTOLOGY_RELATIONSHIP_PATTERN = re.compile(
-    r"\b([a-z_]+) ([A-Z][A-Z0-9]{1,9}):0*(\d+) ! ([^.;|\n]*)"
+# --- dialect-aligned character classes ---------------------------------------
+# Regex shorthand membership differs between Python re and java.util.regex
+# (the dialect every SQL-side expression runs): Python \s additionally
+# matches the C0 separators U+001C-1F, Java's default \s is ASCII-only and
+# its (?U)\s is exactly Unicode White_Space; Python \w/\b/\d are
+# Unicode-aware where Java's defaults are ASCII.  The grammar therefore
+# never uses \s/\w/\b/\d — whitespace is the explicit Unicode White_Space
+# enumeration below and word boundaries are explicit [A-Za-z0-9_]
+# lookarounds, so the SAME pattern STRING compiles to the SAME language in
+# both engines.  Fuzz-pinned across all three extractors + the oracle by
+# tests/test_extract.py::test_fuzzed_three_way_extractor_parity.
+WS_CHARS = (
+    r"\t\n\x0B\f\r \x85\xA0"
+    r"\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000"
 )
+WS_CLASS = f"[{WS_CHARS}]"
+GAP_CLASS = f"[{WS_CHARS}_\\-]+"  # the alias token separator: whitespace/_/-
+_NW = "(?<![A-Za-z0-9_])"  # ASCII left word boundary (dialect-neutral \b)
+
+# --- frozen patterns ---------------------------------------------------------
+# The *_SRC strings are shared verbatim with the JVM-native extractor
+# (extract.py) — one source of truth per clause, two compilers.
+
+ONTOLOGY_SRC = _NW + r"([a-z_]+) ([A-Z][A-Z0-9]{1,9}):0*([0-9]+) ! ([^.;|\n]*)"
+ONTOLOGY_RELATIONSHIP_PATTERN = re.compile(ONTOLOGY_SRC)
 # value runs to sentence punctuation, but stops BEFORE a ' (' description
 # and before a following keyword (' xref '/' has_rank '/' synonym: ') so
 # adjacent clauses never leak into the value (round-2 ADVICE item).  The
@@ -53,12 +73,16 @@ ONTOLOGY_RELATIONSHIP_PATTERN = re.compile(
 # text between the value and the closing punctuation is kept as part of the
 # value exactly like the reference keeps the remainder of the field
 # (GrameneMongoLoader.groovy:89-110).
-XREF_PATTERN = re.compile(
-    r"\bxref ([A-Za-z][A-Za-z0-9_]*):"
-    r"((?:(?!\s\()(?!\s(?:xref|has_rank|synonym:)\s)[^.;,\n])+)"
+XREF_SRC = (
+    _NW + r"xref ([A-Za-z][A-Za-z0-9_]*):"
+    + f"((?:(?!{WS_CLASS}\\()(?!{WS_CLASS}(?:xref|has_rank|synonym:){WS_CLASS})"
+    + r"[^.;,\n])+)"
 )
-RANK_PATTERN = re.compile(r"\bhas_rank NCBITaxon:(\w+)\b")
-SYNONYM_PATTERN = re.compile(r"\bsynonym: ([^.;|\n]+)")
+XREF_PATTERN = re.compile(XREF_SRC)
+RANK_SRC = _NW + r"has_rank NCBITaxon:([A-Za-z0-9_]+)(?![A-Za-z0-9_])"
+RANK_PATTERN = re.compile(RANK_SRC)
+SYNONYM_SRC = _NW + r"synonym: ([^.;|\n]+)"
+SYNONYM_PATTERN = re.compile(SYNONYM_SRC)
 
 XREF_DROP_KEYS = frozenset({"GC_ID"})
 # for these keys the value is "name desc..." -> keep name only
@@ -69,12 +93,20 @@ PRED_XREF = "XREF"
 PRED_RANK = "HAS_RANK"
 PRED_SYNONYM = "SYNONYM"
 
-_WS = re.compile(r"[\s_\-]+")
+# GAP_CLASS, not [\s_\-]: Python \s would additionally fold U+001C-1F into
+# the key while every SQL-side normalization (Java dialect) left them in
+# place — same alias, two different join keys
+_WS = re.compile(GAP_CLASS)
 
 
 def normalize_alias(s: str) -> str:
-    """Collapse case / underscore / dash / whitespace variants onto one key."""
-    return _WS.sub(" ", s.strip().lower()).strip()
+    """Collapse case / underscore / dash / whitespace variants onto one key.
+
+    Mirrors the SQL-side ``trim(regexp_replace(lower(s), GAP_CLASS, ' '))``
+    operation-for-operation.  Deliberately NOT ``s.strip()``: Python's str
+    whitespace includes U+001C-1F, so stripping first would fold characters
+    the SQL path keeps."""
+    return _WS.sub(" ", s.lower()).strip(" ")
 
 
 def build_gazetteer_regex(aliases: list[str]) -> re.Pattern:
@@ -127,7 +159,7 @@ def _trie_regex_body(norms: list[str]) -> str:
             if ch == end:
                 has_end = True
                 continue
-            piece = r"[\s_\-]+" if ch == _TOKEN_GAP else re.escape(ch)
+            piece = GAP_CLASS if ch == _TOKEN_GAP else re.escape(ch)
             alts.append(piece + emit(sub))
         if not alts:
             return ""

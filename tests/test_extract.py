@@ -188,16 +188,15 @@ def test_native_word_boundary_parity():
     assert not re.search(extract._NATIVE_SYN, "Xsynonym: foo.")
 
 
-def test_whitespace_divergence_class_pinned(spark):
-    """Pin the documented Python-\\s vs Java-(?U)\\s divergence class.
-
-    Both normalizers collapse [case/space/_/-] variants; the known edge
-    class is the C0 separator controls U+001C..U+001F (FS/GS/RS/US):
-    Python's re \\s matches them, java.lang.Character.isWhitespace (the
-    (?U)\\s used in every SQL-side norm) does NOT.  Everything else in the
-    probe set must AGREE between the two dialects — if Spark or CPython
-    ever shifts this behavior, this test flags it before it can silently
-    break pandas<->SQL normalization parity.
+def test_whitespace_class_aligned_across_dialects(spark):
+    """The grammar's explicit whitespace class (rules.GAP_CLASS) must mean
+    the SAME set in Python re and Spark's Java regex — including the
+    historical divergence class U+001C..U+001F (FS/GS/RS/US: Python \\s
+    matches them, Java (?U)\\s does not), which is why the grammar stopped
+    using \\s shorthand (round-4 VERDICT task #5).  Every probe character
+    must normalize identically on both sides: whitespace characters collapse
+    to the separator, non-whitespace (now including FS/GS/RS/US and ZWSP)
+    stay in the key.
     """
     import pyspark.sql.functions as F
 
@@ -205,33 +204,28 @@ def test_whitespace_divergence_class_pinned(spark):
 
     probe = {
         "space": " ", "tab": "\t", "nl": "\n", "cr": "\r",
-        "vt": "\x0b", "ff": "\x0c",          # \v and \f agree in BOTH
-        "nel": "\x85", "nbsp": "\xa0",       # Unicode WS: agree under (?U)
-        "ogham": " ", "emsp": " ", "line_sep": " ",
-        "ideo": "　",
-        "zwsp": "​",                    # not whitespace in either
-        "fs": "\x1c", "gs": "\x1d", "rs": "\x1e", "us": "\x1f",  # DIVERGE
+        "vt": "\x0b", "ff": "\x0c",
+        "nel": "\x85", "nbsp": "\xa0",
+        "ogham": "\u1680", "emsp": "\u2003", "line_sep": "\u2028",
+        "ideo": "\u3000",
+        "zwsp": "\u200b",                     # not whitespace in either
+        "fs": "\x1c", "gs": "\x1d", "rs": "\x1e", "us": "\x1f",  # not WS now
     }
-    diverging = {"fs", "gs", "rs", "us"}
+    non_ws = {"zwsp", "fs", "gs", "rs", "us"}
     rows = [(k, f"ent{c}name") for k, c in probe.items()]
     df = spark.createDataFrame(rows, "name string, s string")
     sql_norm = {
         r["name"]: r["n"]
         for r in df.select(
             "name",
-            F.trim(F.regexp_replace(F.lower("s"), r"(?U)[\s_\-]+", " ")).alias("n"),
+            F.trim(F.regexp_replace(F.lower("s"), rules.GAP_CLASS, " ")).alias("n"),
         ).collect()
     }
     for k, c in probe.items():
         py = rules.normalize_alias(f"ent{c}name")
-        if k in diverging:
-            assert py == "ent name", k
-            assert sql_norm[k] == f"ent{c}name", k  # Java leaves it in place
-        else:
-            assert py == sql_norm[k], (
-                f"{k!r}: python={py!r} sql={sql_norm[k]!r} — a NEW divergence "
-                "outside the documented FS/GS/RS/US class"
-            )
+        expected = f"ent{c}name" if k in non_ws else "ent name"
+        assert py == expected, f"{k!r}: python={py!r}"
+        assert sql_norm[k] == expected, f"{k!r}: sql={sql_norm[k]!r}"
 
 
 def test_kind_pushdown_equals_post_filter(spark, dictionary_pdf, transcripts_df):
@@ -266,3 +260,126 @@ def test_kinds_validation_fails_fast(spark, dictionary_pdf, transcripts_df):
             fn(transcripts_df, aliases, kinds=("triples",))  # plural typo
         with pytest.raises(ValueError, match="non-empty subset"):
             fn(transcripts_df, aliases, kinds=())
+
+
+def test_fuzzed_three_way_extractor_parity(spark, dictionary_pdf):
+    """Seeded random-text property fuzz (round-4 VERDICT task #5): the
+    pandas, arrow, and JVM-native extractors and the frozen single-process
+    oracle walker must produce IDENTICAL triple/mention multisets on hostile
+    text — the historical divergence class U+001C-1F, NBSP/NEL and exotic
+    Unicode whitespace, non-ASCII words butted against grammar keywords
+    (\\b/\\w/\\d dialect traps), embedded single/double quotes and
+    backslashes, null/empty/NUL-bearing turns, and alias surfaces with
+    every separator variant.  10k turns; any dialect drift in rules.py's
+    shared pattern strings fails here with the offending class visible.
+
+    Deliberately excluded: characters whose UNICODE case-folding maps into
+    ASCII (Kelvin sign, long s) — the gazetteer's case-insensitivity is
+    ASCII-scoped by construction (aliases are ASCII; Python IGNORECASE is
+    Unicode-aware, Java (?i) is ASCII-only), documented in rules.py.
+    """
+    import random
+
+    rng = random.Random(0x5EED5)
+    aliases = all_aliases(dictionary_pdf)
+    norms = sorted({rules.normalize_alias(a) for a in aliases if a and a.strip()})
+
+    ws_pool = [" ", "\t", "\n", "\xa0", "\x85", " ", "　", "\x0b"]
+    gap_pool = [" ", "_", "-", "\t", "\xa0", "  "]
+    control_pool = ["\x1c", "\x1d", "\x1e", "\x1f"]
+    junk = ["lorem", "ipsum", "quark", "naïve", "тест", "δοκιμή", 'say "hi"',
+            "it's", "back\\slash", "(parens)", "semi;colon", "dot.stop"]
+
+    def alias_variant():
+        toks = rng.choice(norms).split(" ")
+        sep = rng.choice(gap_pool + (control_pool if rng.random() < 0.25 else []))
+        s = sep.join(toks)
+        return "".join(c.upper() if rng.random() < 0.3 else c for c in s)
+
+    def onto_clause():
+        rel = rng.choice(["is_a", "part_of", "regulates"])
+        ns = rng.choice(["GO", "NCBIT", "PO2"])
+        num = rng.randint(0, 999_999_999)
+        zeros = "0" * rng.randint(0, 3)
+        label = rng.choice(junk + ["some label ( with parens", 'quo"ted'])
+        return f"{rel} {ns}:{zeros}{num} ! {label}"
+
+    def xref_clause():
+        key = rng.choice(["Reactome", "VZ", "GC_ID", "UniProt", "http", "loinc"])
+        val = rng.choice(["R-HSA-123 extra words", "plain", 'va"l', "it's",
+                          "x\x1cy", "a (desc) b", "päth/to thing"])
+        return f"xref {key}:{val}"
+
+    def rank_clause():
+        word = rng.choice(["species", "genus", "sub_species", "formaé"])
+        return f"has_rank NCBITaxon:{word}"
+
+    def syn_clause():
+        return "synonym: " + rng.choice(junk + [alias_variant()])
+
+    def turn_text():
+        r = rng.random()
+        if r < 0.02:
+            return None
+        if r < 0.04:
+            return ""
+        if r < 0.06:
+            return "bad\x00turn"
+        n = rng.randint(1, 5)
+        parts = []
+        for _ in range(n):
+            parts.append(rng.choice(
+                [alias_variant, onto_clause, xref_clause, rank_clause,
+                 syn_clause, lambda: rng.choice(junk)]
+            )())
+        glue = rng.choice(ws_pool)
+        prefix = rng.choice(["", rng.choice(junk) + rng.choice(ws_pool),
+                             rng.choice(["тест", "naïve"])])  # keyword-adjacent non-ASCII
+        return prefix + glue.join(parts) + rng.choice(["", ".", " ;", " tail"])
+
+    rows = [(f"c{i % 400}", i // 400, turn_text()) for i in range(10_000)]
+    tdf = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string").persist()
+
+    # 1. three-way engine parity: full-row signature over every output row
+    cols = "conv_id, turn_idx, kind, subj, pred, obj, surface, n_mentions, n_triples, is_error"
+    sig = lambda df: df.selectExpr(  # noqa: E731
+        f"bit_xor(xxhash64({cols})) AS h", "count(*) AS n"
+    ).collect()[0]
+    s_pd = sig(extract.extract_rows(tdf, aliases))
+    s_ar = sig(extract.extract_rows_arrow(tdf, aliases))
+    s_nv = sig(extract.extract_rows_native(tdf, aliases))
+    assert (s_pd["h"], s_pd["n"]) == (s_ar["h"], s_ar["n"]), "pandas vs arrow drift"
+    assert (s_pd["h"], s_pd["n"]) == (s_nv["h"], s_nv["n"]), "pandas vs native drift"
+
+    # 2. oracle parity: triple AND mention multisets vs the frozen walker
+    from collections import Counter
+
+    gaz = rules.build_gazetteer_regex(aliases)
+    exp_triples, exp_mentions = Counter(), Counter()
+    for conv_id, turn_idx, text in rows:
+        if not text or "\x00" in text:
+            continue
+        mentions, triples = rules.extract_turn(text, gaz)
+        for t in triples:
+            exp_triples[(conv_id, turn_idx, t.subj, t.pred, t.obj)] += 1
+        for m in mentions:
+            exp_mentions[(conv_id, turn_idx, m, rules.normalize_alias(m))] += 1
+
+    py_rows = extract.extract_rows(tdf, aliases)
+    got_triples = Counter(
+        (r["conv_id"], r["turn_idx"], r["subj"], r["pred"], r["obj"])
+        for r in extract.triples_from_rows(py_rows).collect()
+    )
+    got_mentions = Counter(
+        (r["conv_id"], r["turn_idx"], r["surface"], r["norm"])
+        for r in extract.mentions_from_rows(py_rows).collect()
+    )
+    tdf.unpersist()
+    assert got_triples == exp_triples, (
+        f"triple drift: only-spark={list((got_triples - exp_triples).items())[:3]} "
+        f"only-oracle={list((exp_triples - got_triples).items())[:3]}"
+    )
+    assert got_mentions == exp_mentions, (
+        f"mention drift: only-spark={list((got_mentions - exp_mentions).items())[:3]} "
+        f"only-oracle={list((exp_mentions - got_mentions).items())[:3]}"
+    )
