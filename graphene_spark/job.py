@@ -65,7 +65,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--resume", action="store_true",
                     help="keep existing output; skip buckets marked done in lineage")
-    ap.add_argument("--link-strategy", default="broadcast", choices=["broadcast", "salted"])
+    ap.add_argument("--link-strategy", default="auto",
+                    choices=["auto", "broadcast", "salted"],
+                    help="'auto' (default) broadcasts when the alias-map size "
+                         "estimate fits spark.sql.autoBroadcastJoinThreshold, "
+                         "else salts (linking.resolve_link_strategy)")
     ap.add_argument("--fuzzy-threshold", type=float, default=None,
                     help="enable LSH second-chance linking at this Jaccard threshold")
     ap.add_argument("--postprocess", action="store_true",

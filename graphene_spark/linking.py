@@ -76,11 +76,65 @@ def hot_keys(mentions: DataFrame, key: str = "norm", min_count: int | None = Non
     return counts.orderBy(F.desc("cnt")).limit(top_k)
 
 
+def estimate_alias_map_bytes(dictionary: DataFrame) -> int:
+    """Estimated in-memory size of the broadcast alias map.
+
+    One cheap aggregate over the DICTIONARY (the dimension side — never the
+    mention stream): per exploded alias, its UTF8 chars plus the repeated
+    name/type payload plus ~64 bytes of UnsafeRow + hash-map overhead (the
+    BytesToBytesMap a BroadcastHashJoin builds).  Deliberately conservative
+    (x2 on string bytes) — overestimating flips to the scale-safe salted
+    join early, underestimating OOMs executors."""
+    row = dictionary.select(
+        F.coalesce(
+            F.sum(F.expr("aggregate(aliases, 0L, (acc, a) -> acc + length(a))")),
+            F.lit(0),
+        ).alias("alias_chars"),
+        F.coalesce(F.sum(F.size("aliases")), F.lit(0)).alias("n_aliases"),
+        F.coalesce(
+            F.sum(
+                F.size("aliases")
+                * (F.length("canonical_name") + F.length("entity_type"))
+            ),
+            F.lit(0),
+        ).alias("payload_chars"),
+    ).collect()[0]
+    return int(2 * (row["alias_chars"] + row["payload_chars"]) + 64 * row["n_aliases"])
+
+
+def _parse_size_bytes(conf_value: str) -> int:
+    """Parse Spark size confs ('10485760', '10485760b', '10m', '10MB', '-1')."""
+    t = conf_value.strip().lower()
+    if t.endswith("b"):
+        t = t[:-1]
+    mult = 1
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+        if t.endswith(suf):
+            t, mult = t[: -len(suf)], m
+            break
+    return int(t) * mult
+
+
+def resolve_link_strategy(dictionary: DataFrame, threshold_bytes: int | None = None) -> str:
+    """Pick 'broadcast' or 'salted' from the alias-map size estimate vs
+    ``spark.sql.autoBroadcastJoinThreshold`` (round-4 VERDICT task #7: the
+    scale-safe path must be automatic, not a caller obligation).  A negative
+    threshold (broadcasting disabled) always yields 'salted'."""
+    if threshold_bytes is None:
+        conf = dictionary.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        threshold_bytes = _parse_size_bytes(conf)
+    if threshold_bytes < 0:
+        return "salted"
+    return "broadcast" if estimate_alias_map_bytes(dictionary) <= threshold_bytes else "salted"
+
+
 def link_mentions(
     mentions: DataFrame,
     dictionary: DataFrame,
     *,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
     salt: int = DEFAULT_SALT,
     key_col: str = "norm",
 ) -> tuple[DataFrame, DataFrame]:
@@ -90,13 +144,18 @@ def link_mentions(
     unlinked: mentions with no dictionary entry (left-anti, J11) — a metric
               input, never an error (Loader.groovy:45-47).
 
-    strategy='broadcast' — the default: dictionary is a dimension table, so a
-      broadcast hash join eliminates the shuffle entirely (the Spark analog of
-      the reference's driver-held maps).
+    strategy='auto'      — the default: 'broadcast' when the alias-map size
+      estimate fits spark.sql.autoBroadcastJoinThreshold, else 'salted'
+      (resolve_link_strategy).  Costs one tiny aggregate on the dictionary.
+    strategy='broadcast' — dictionary is a dimension table, so a broadcast
+      hash join eliminates the shuffle entirely (the Spark analog of the
+      reference's driver-held maps).
     strategy='salted'    — for dictionaries too big to broadcast: explode hot
       dictionary rows xS, salt the probe side, shuffle-join on (key, salt).
       Non-hot keys use salt 0, so only the Zipf head fans out.
     """
+    if strategy == "auto":
+        strategy = resolve_link_strategy(dictionary)
     amap = alias_map(dictionary)
     if strategy == "broadcast":
         joined = mentions.join(F.broadcast(amap), mentions[key_col] == amap.alias_norm, "left")
@@ -140,7 +199,7 @@ def link_triples(
     raw_triples: DataFrame,
     dictionary: DataFrame,
     *,
-    strategy: str = "broadcast",
+    strategy: str = "auto",
     salt: int = DEFAULT_SALT,
 ) -> tuple[DataFrame, DataFrame]:
     """Resolve raw triple subjects to canonical entities; dedup on

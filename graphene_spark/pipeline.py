@@ -35,7 +35,7 @@ def run_pipeline(
     dictionary: DataFrame,
     aliases: list[str],
     *,
-    link_strategy: str = "broadcast",
+    link_strategy: str = "auto",
     fuzzy_threshold: float | None = None,
     canonicalize_dictionary: bool = False,
     extractor: str = "arrow",
