@@ -127,7 +127,16 @@ def resolve_link_strategy(dictionary: DataFrame, threshold_bytes: int | None = N
         threshold_bytes = _parse_size_bytes(conf)
     if threshold_bytes < 0:
         return "salted"
-    return "broadcast" if estimate_alias_map_bytes(dictionary) <= threshold_bytes else "salted"
+    # memoize the size estimate on the DataFrame object: the estimate is an
+    # extra Spark job (~0.1-0.2 s of scheduling latency), and a pipeline
+    # links twice (triples + mentions) against the SAME dictionary frame —
+    # paying it once per frame keeps 'auto' out of the per-run fixed
+    # residual that the scaling benchmark showed dominating small jobs
+    est = getattr(dictionary, "_gs_alias_map_bytes", None)
+    if est is None:
+        est = estimate_alias_map_bytes(dictionary)
+        dictionary._gs_alias_map_bytes = est
+    return "broadcast" if est <= threshold_bytes else "salted"
 
 
 def link_mentions(

@@ -117,6 +117,11 @@ def run_pipeline(
     raw_triples = extract.triples_from_rows(extract_fn(transcripts, aliases, kinds=("triple",)))
     mentions = extract.mentions_from_rows(extract_fn(transcripts, aliases, kinds=("mention",)))
 
+    # resolve 'auto' ONCE for both link calls (the resolution is a small
+    # Spark job; linking.resolve_link_strategy memoizes the size estimate
+    # per dictionary frame, this keeps even the conf lookup single)
+    if link_strategy == "auto":
+        link_strategy = linking.resolve_link_strategy(dictionary)
     triples, dangling = linking.link_triples(raw_triples, dictionary, strategy=link_strategy)
     linked_mentions, unlinked = linking.link_mentions(mentions, dictionary, strategy=link_strategy)
 
