@@ -257,7 +257,7 @@ def dedup_batch(
         idx = (
             # partition-pruned scan: the index is LAID OUT by
             # (band_idx, band_sig), so only the _kb partitions this batch's
-            # band keys hash into are opened (inputFiles-pinned by
+            # band keys hash into are opened (poison-row-pinned by
             # tests/test_streaming.py) — at 100 TB of history the probe cost
             # scales with the batch, not the index
             materialize.read_merged_pruned(
