@@ -91,11 +91,23 @@ def minhash_from_hashes(xs_col, num_hashes: int = 32):
 
 
 def minhash_signature(shingles_col, num_hashes: int = 32):
-    """Convenience single-expression form of hashed_shingles +
-    minhash_from_hashes.  NOTE: inlines the hash transform into each of the
-    K min expressions, so xxhash64 runs K times per shingle — fine for
-    one-off small frames; hot paths (band_table) use the two-projection
-    split instead."""
+    """DEPRECATED — use ``hashed_shingles`` in its own projection followed by
+    ``minhash_from_hashes`` (the two-projection split every hot path uses).
+
+    This single-expression form inlines the hash transform into each of the
+    K min expressions, so xxhash64 runs K times per shingle — a K-fold
+    compute footgun for anyone copy-pasting it into a large-scan pipeline
+    (round-4 VERDICT).  Kept only for one-off small frames and backward
+    compatibility; emits a DeprecationWarning so new call sites surface in
+    test runs."""
+    import warnings
+
+    warnings.warn(
+        "blocking.minhash_signature inlines the shingle hash K times; use "
+        "hashed_shingles (own projection) + minhash_from_hashes instead",
+        DeprecationWarning,
+        stacklevel=2,
+    )
     return minhash_from_hashes(hashed_shingles(shingles_col), num_hashes)
 
 
