@@ -112,16 +112,17 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.merge_backend.startswith("iceberg:"):
         namespace = args.merge_backend.split(":", 1)[1]
-        catalog = namespace.split(".", 1)[0]
-        # '.' is required, not just non-emptiness: 'iceberg:lake' passes the
-        # emptiness checks (namespace == catalog == 'lake') but resolves
-        # tables to 'lake.triples' with no namespace part, failing later
-        # with a confusing catalog error instead of this message
-        if not namespace or not catalog or "." not in namespace:
+        parts = namespace.split(".", 1)
+        # BOTH halves must be non-empty: 'iceberg:lake' (no namespace part)
+        # and 'iceberg:lake.' / 'iceberg:.kg' (empty half) all resolve to
+        # malformed table names that fail later with a confusing catalog
+        # error instead of this parse-time message
+        if len(parts) != 2 or not parts[0] or not parts[1]:
             raise SystemExit(
                 f"--merge-backend {args.merge_backend!r}: expected "
                 "iceberg:<catalog.namespace> (e.g. iceberg:lake.kg)"
             )
+        catalog = parts[0]
         if not materialize.IcebergMergeSink.available(spark, catalog):
             raise SystemExit(
                 f"--merge-backend iceberg:{namespace} requires catalog "

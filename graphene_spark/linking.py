@@ -85,16 +85,29 @@ def estimate_alias_map_bytes(dictionary: DataFrame) -> int:
     BytesToBytesMap a BroadcastHashJoin builds).  Deliberately conservative
     (x2 on string bytes) — overestimating flips to the scale-safe salted
     join early, underestimating OOMs executors."""
+    # null-hardened: size(NULL) is -1 (non-ANSI) and NULL lengths drop out
+    # of sums — unguarded, a dictionary with many NULL alias arrays or NULL
+    # names would UNDER-estimate and broadcast an oversized map (the exact
+    # OOM 'auto' exists to prevent)
+    n_alias = F.greatest(F.size(F.coalesce("aliases", F.array())), F.lit(0))
     row = dictionary.select(
         F.coalesce(
-            F.sum(F.expr("aggregate(aliases, 0L, (acc, a) -> acc + length(a))")),
+            F.sum(
+                F.expr(
+                    "aggregate(coalesce(aliases, array()), 0L,"
+                    " (acc, a) -> acc + coalesce(length(a), 0))"
+                )
+            ),
             F.lit(0),
         ).alias("alias_chars"),
-        F.coalesce(F.sum(F.size("aliases")), F.lit(0)).alias("n_aliases"),
+        F.coalesce(F.sum(n_alias), F.lit(0)).alias("n_aliases"),
         F.coalesce(
             F.sum(
-                F.size("aliases")
-                * (F.length("canonical_name") + F.length("entity_type"))
+                n_alias
+                * (
+                    F.coalesce(F.length("canonical_name"), F.lit(0))
+                    + F.coalesce(F.length("entity_type"), F.lit(0))
+                )
             ),
             F.lit(0),
         ).alias("payload_chars"),
@@ -103,12 +116,15 @@ def estimate_alias_map_bytes(dictionary: DataFrame) -> int:
 
 
 def _parse_size_bytes(conf_value: str) -> int:
-    """Parse Spark size confs ('10485760', '10485760b', '10m', '10MB', '-1')."""
+    """Parse Spark size confs ('10485760', '10485760b', '10m', '10MB', '1t',
+    '-1') — the full k/m/g/t/p suffix set JavaUtils.byteStringAsBytes
+    accepts, so a valid session conf can never crash strategy='auto'."""
     t = conf_value.strip().lower()
     if t.endswith("b"):
         t = t[:-1]
     mult = 1
-    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                   ("t", 1024**4), ("p", 1024**5)):
         if t.endswith(suf):
             t, mult = t[: -len(suf)], m
             break

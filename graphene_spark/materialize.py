@@ -32,6 +32,7 @@ per-loader progress instrumentation (Importer.groovy:40-43) made durable.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
@@ -97,6 +98,7 @@ def merge_insert_absent(
         .persist()
     )
     incoming = base
+    recover_compaction(path)
     if os.path.exists(path):
         touched = [r["_kb"] for r in incoming.select("_kb").distinct().collect()]
         existing = (
@@ -125,6 +127,7 @@ def merge_insert_absent(
 
 def read_merged(spark: SparkSession, path: str) -> DataFrame:
     """Read a merged table without the layout column."""
+    recover_compaction(path)
     return spark.read.parquet(path).drop("_kb")
 
 
@@ -136,9 +139,10 @@ def read_merged_pruned(
     key_buckets: int = KEY_BUCKETS,
 ) -> DataFrame:
     """Read a merged table restricted to the ``_kb`` partitions that could
-    hold any of ``probe``'s layout-key values — a partition-PRUNED scan (the
-    filter is on the hive partition column, so untouched ``_kb=`` directories
-    are never opened; assert via ``df.inputFiles()``).
+    hold any of ``probe``'s layout-key values — a partition-PRUNED scan: the
+    filter lands in the plan's PartitionFilters (PLANS.md §7), so untouched
+    ``_kb=`` directories are never opened.  (``df.inputFiles()`` can NOT
+    observe this — it lists the relation's full file index.)
 
     ``probe`` must carry the ``layout_keys`` columns and MUST be small after
     ``.distinct()`` on them (the bucket set is collected to the driver; it is
@@ -146,6 +150,7 @@ def read_merged_pruned(
     The caller still needs its exact key join/semi-join on top — this only
     narrows the scan to candidate partitions, the Iceberg/bucket-join analog
     of MERGE touching only the buckets the source hits."""
+    recover_compaction(path)
     touched = [
         r["_kb"]
         for r in probe.select(layout_bucket(layout_keys, key_buckets).alias("_kb"))
@@ -153,6 +158,33 @@ def read_merged_pruned(
         .collect()
     ]
     return spark.read.parquet(path).filter(F.col("_kb").isin(touched)).drop("_kb")
+
+
+def recover_compaction(path: str) -> bool:
+    """Repair a table whose compaction crashed mid-swap; returns True if a
+    repair happened.
+
+    ``compact_merged``'s swap is two renames; a kill between them leaves the
+    table only at ``<path>.compact.old`` while ``path`` is absent — and a
+    missing path would otherwise be silently read as FIRST-RUN state by
+    every ``os.path.exists`` caller (dedup_batch would forget its whole
+    dedup history).  Every entry point that existence-checks a merged table
+    calls this first; the repair itself is a single atomic rename."""
+    old = path.rstrip("/") + ".compact.old"
+    tmp = path.rstrip("/") + ".compact.tmp"
+    repaired = False
+    if not os.path.exists(path) and os.path.exists(old):
+        # crashed between the two renames: old IS the table; tmp may be a
+        # complete orphan copy — the original is authoritative either way
+        os.replace(old, path)
+        repaired = True
+    if os.path.exists(path) and os.path.exists(old):
+        # crashed after the second rename, before cleanup
+        shutil.rmtree(old)
+        repaired = True
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # incomplete (or orphaned) rewrite, always safe to drop
+    return repaired
 
 
 def compact_merged(spark: SparkSession, path: str) -> dict:
@@ -163,19 +195,19 @@ def compact_merged(spark: SparkSession, path: str) -> dict:
     small files and the probe's pruned scan degrades into a file-listing
     storm.  This is the parquet emulation of Iceberg's ``rewrite_data_files``
     maintenance action: read the table, rewrite one file per partition into a
-    side directory, then atomically swap directories (crash mid-compaction
-    leaves the original table untouched).
+    side directory, then atomically swap directories.  A crash mid-swap is
+    repaired by ``recover_compaction`` (run here and by every reader/writer
+    entry point), so the table is never lost and at worst the compaction
+    must be re-run.
 
     Returns {"files_before", "files_after", "rows"} for the caller's lineage.
     """
+    recover_compaction(path)
     df = spark.read.parquet(path)
     files_before = len(df.inputFiles())
     rows = df.count()
     tmp = path.rstrip("/") + ".compact.tmp"
     old = path.rstrip("/") + ".compact.old"
-    for d in (tmp, old):
-        if os.path.exists(d):
-            shutil.rmtree(d)
     # one shuffle keyed on the layout column -> exactly one task (and so one
     # file) per _kb partition value
     df.repartition(F.col("_kb")).write.partitionBy("_kb").parquet(tmp)
@@ -238,7 +270,15 @@ def build_merge_insert_sql(
     )
 
 
-_MERGE_SHAPE = None  # compiled lazily; see merge_insert_sql_to_exists_form
+# the exact statement shape build_merge_insert_sql emits — anything else is
+# refused by merge_insert_sql_to_exists_form rather than guessed at
+_MERGE_SHAPE = re.compile(
+    r"\AMERGE INTO (?P<table>\S+) t\n"
+    r"USING (?P<view>\S+) s\n"
+    r"ON (?P<on>.+)\n"
+    r"WHEN NOT MATCHED THEN INSERT \((?P<cols>[^)]*)\) "
+    r"VALUES \((?P<vals>[^)]*)\)\Z"
+)
 
 
 def merge_insert_sql_to_exists_form(sql: str) -> str:
@@ -264,17 +304,6 @@ def merge_insert_sql_to_exists_form(sql: str) -> str:
     as of statement start, so they insert identical row sets.  Raises on any
     other statement shape rather than guessing.
     """
-    import re
-
-    global _MERGE_SHAPE
-    if _MERGE_SHAPE is None:
-        _MERGE_SHAPE = re.compile(
-            r"\AMERGE INTO (?P<table>\S+) t\n"
-            r"USING (?P<view>\S+) s\n"
-            r"ON (?P<on>.+)\n"
-            r"WHEN NOT MATCHED THEN INSERT \((?P<cols>[^)]*)\) "
-            r"VALUES \((?P<vals>[^)]*)\)\Z"
-        )
     m = _MERGE_SHAPE.match(sql)
     if m is None:
         raise ValueError(

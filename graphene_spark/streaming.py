@@ -181,6 +181,19 @@ def dedup_batch(
         with open(params_path) as f:
             stored = json.load(f)
         if stored != params:
+            lsh_keys = ("ngram_words", "num_hashes", "bands")
+            if {k: stored.get(k) for k in lsh_keys} == {k: params[k] for k in lsh_keys}:
+                # same LSH parameters, different index layout: a pre-upgrade
+                # state dir.  The mismatch is NOT the LSH params, so say so —
+                # and the corpus is intact, only the index needs rebuilding.
+                raise ValueError(
+                    f"dedup state at {out_dir} uses band-index layout "
+                    f"{stored.get('index_layout', 1)} but this version writes "
+                    f"layout {params['index_layout']}: run "
+                    "streaming.rebuild_band_index(spark, out_dir) to migrate "
+                    "(rebuilds the index from the accepted corpus in place; "
+                    "the corpus and its dedup history are untouched)"
+                )
             raise ValueError(
                 f"dedup_batch params {params} do not match the persisted index's "
                 f"{stored} ({params_path}) — bands from different parameters hash "
@@ -248,6 +261,11 @@ def dedup_batch(
 
     index_path = os.path.join(out_dir, "band_index")
     accepted_path = os.path.join(out_dir, "accepted")
+    # a compaction killed mid-swap leaves a table visible only under its
+    # .compact.old name; repair BEFORE any existence check, or the state
+    # would silently read as first-run and the dedup history would vanish
+    materialize.recover_compaction(index_path)
+    materialize.recover_compaction(accepted_path)
     n_index_dups = 0
     index_dup_ids = None
     batch_band_keys = None
@@ -318,20 +336,36 @@ def dedup_batch(
             index_dup_ids.withColumnsRenamed({id_col: "_id"}), "_id", "left_anti"
         )
 
-    # 3. idempotent appends
+    # 3. idempotent appends — INDEX merge FIRST, then accepted: a crash
+    # between the two leaves band rows for a not-yet-accepted doc, and the
+    # replay (same text -> same sigs -> keyed no-op) completes the accepted
+    # insert.  The reverse order could leave an ACCEPTED doc with no index
+    # rows — invisible to every future probe.
     survivors = survivors.persist()
     n_survive = survivors.count()
-    n_acc = materialize.merge_insert_absent(spark, survivors, accepted_path, [id_col])
+    index_rows = banded.withColumnsRenamed({"_id": id_col})
+    if os.path.exists(accepted_path):
+        # ids already accepted by an EARLIER batch keep their original band
+        # rows: a same-id re-delivery with DIFFERENT text must not add
+        # stale (id, sig(new_text)) rows — the identity key carries
+        # band_sig, so without this anti-join every mutated re-delivery
+        # would pile orphaned rows into the index, inflating the hot-band
+        # cap counts until whole bands get evicted from the probe
+        pre_existing = materialize.read_merged_pruned(
+            spark, accepted_path, [id_col], index_rows.select(id_col)
+        ).select(id_col)
+        index_rows = index_rows.join(pre_existing, id_col, "left_anti")
     # identity carries band_sig so it determines the (band_idx, band_sig)
     # layout (merge_insert_absent requires layout ⊆ identity); a replay
     # re-derives the same sig from the same text, so idempotency holds
     materialize.merge_insert_absent(
         spark,
-        banded.withColumnsRenamed({"_id": id_col}),
+        index_rows,
         index_path,
         [id_col, "band_idx", "band_sig"],
         layout_keys=["band_idx", "band_sig"],
     )
+    n_acc = materialize.merge_insert_absent(spark, survivors, accepted_path, [id_col])
     n_in_batch = arrived - n_survive - n_index_dups
     survivors.unpersist()
     batch_df.unpersist()
@@ -350,6 +384,66 @@ def dedup_batch(
         "already_present": n_survive - n_acc,
         "accepted": n_acc,
     }
+
+
+def rebuild_band_index(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Rebuild ``band_index`` from the accepted corpus under the CURRENT
+    index layout — the migration path for pre-layout-2 state dirs (the
+    params guard in ``dedup_batch`` points here) and the repair tool for any
+    suspected index corruption.  The accepted corpus and its dedup history
+    are read-only inputs; only the index directory and the params file are
+    rewritten.  Crash-safe: the params file is updated only after the index
+    rebuild completes, so an interrupted migration re-raises the layout
+    error and can simply be re-run.  Returns the number of index rows."""
+    import json
+
+    from .tdp import dedup as dd
+
+    params_path = os.path.join(out_dir, "_dedup_params.json")
+    with open(params_path) as f:
+        stored = json.load(f)
+    lsh = {k: stored[k] for k in ("ngram_words", "num_hashes", "bands")}
+
+    accepted_path = os.path.join(out_dir, "accepted")
+    index_path = os.path.join(out_dir, "band_index")
+    materialize.recover_compaction(accepted_path)
+    accepted = materialize.read_merged(spark, accepted_path)
+    sig = dd.signature_frame(
+        accepted, id_col, text_col,
+        ngram_words=lsh["ngram_words"], num_hashes=lsh["num_hashes"],
+    )
+    banded = dd._materialize(
+        dd.band_frame(sig, num_hashes=lsh["num_hashes"], bands=lsh["bands"])
+    )
+    # normalize any crashed-compaction state FIRST: rmtree-ing only the live
+    # path while a .compact.old survived would let recover_compaction
+    # resurrect the stale pre-rebuild index afterwards
+    materialize.recover_compaction(index_path)
+    if os.path.exists(index_path):
+        import shutil
+
+        shutil.rmtree(index_path)
+    n = materialize.merge_insert_absent(
+        spark,
+        banded.withColumnsRenamed({"_id": id_col}),
+        index_path,
+        [id_col, "band_idx", "band_sig"],
+        layout_keys=["band_idx", "band_sig"],
+    )
+    stored["index_layout"] = 2
+    tmp = params_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stored, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, params_path)
+    return n
 
 
 def compact_dedup_state(spark: SparkSession, out_dir: str) -> dict:

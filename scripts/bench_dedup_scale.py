@@ -101,7 +101,9 @@ def main() -> None:
             "docs_per_sec": int(n_docs / full_sec),
         }
 
-    lo, hi = scales[-2], scales[-1]
+    # a single-scale invocation still reports its measurements (ratio 1.0)
+    # instead of crashing after the expensive runs completed
+    lo, hi = (scales[-2], scales[-1]) if len(scales) >= 2 else (scales[-1], scales[-1])
     r_lo, r_hi = results[f"{lo}x"], results[f"{hi}x"]
     # recall vs the known answer: the exact verify never admits a false
     # positive, so n_pairs <= k * base_pairs and the deficit is purely LSH

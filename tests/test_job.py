@@ -277,3 +277,16 @@ def test_merge_backend_requires_dotted_namespace(spark, tmp_path):
             "--transcripts", "synthetic:100", "--out", str(tmp_path / "o"),
             "--merge-backend", "iceberg:lake",
         ])
+
+
+def test_merge_backend_rejects_empty_namespace_halves(spark, tmp_path):
+    """'iceberg:lake.' and 'iceberg:.kg' carry a dot but an empty half and
+    must fail at parse time like 'iceberg:lake' does."""
+    from graphene_spark import job
+
+    for bad in ("iceberg:lake.", "iceberg:.kg"):
+        with pytest.raises(SystemExit, match="catalog.namespace"):
+            job.main([
+                "--transcripts", "synthetic:100", "--out", str(tmp_path / "o"),
+                "--merge-backend", bad,
+            ])

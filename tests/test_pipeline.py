@@ -146,3 +146,32 @@ def test_link_strategy_auto_end_to_end_equivalence(
         assert triples("auto") == base  # auto -> salted, same answers
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_parse_size_bytes_full_suffix_set():
+    """Every size spelling Spark's JavaUtils.byteStringAsBytes accepts must
+    parse — a valid session threshold conf must never crash 'auto'."""
+    from graphene_spark import linking
+
+    assert linking._parse_size_bytes("1t") == 1024 ** 4
+    assert linking._parse_size_bytes("2TB") == 2 * 1024 ** 4
+    assert linking._parse_size_bytes("1p") == 1024 ** 5
+
+
+def test_estimate_alias_map_bytes_null_hardened(spark):
+    """NULL alias arrays / names must not shrink the estimate (size(NULL) is
+    -1; NULL lengths drop out of sums) — an under-estimate broadcasts an
+    oversized map, the exact OOM 'auto' exists to prevent."""
+    from graphene_spark import linking
+
+    d = spark.createDataFrame(
+        [(1, "Alpha", ["alpha", "al"], "T", False),
+         (2, None, None, None, False),
+         (3, "Gamma", None, "T", False)],
+        "entity_id long, canonical_name string, aliases array<string>, "
+        "entity_type string, is_hot boolean",
+    )
+    est = linking.estimate_alias_map_bytes(d)
+    only_good = linking.estimate_alias_map_bytes(d.filter("entity_id = 1"))
+    assert est == only_good  # null rows contribute zero, never negative
+    assert est > 0

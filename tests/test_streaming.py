@@ -244,3 +244,96 @@ def test_dedup_batch_rejects_param_mismatch(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="do not match the persisted index"):
         streaming.dedup_batch(spark, b2, out, bands=16)
+
+
+def test_crashed_compaction_is_recovered_before_state_checks(spark, tmp_path):
+    """A compaction killed between its two renames leaves the table only at
+    <path>.compact.old; without recovery the next batch would read the
+    missing path as FIRST-RUN state and forget the whole dedup history."""
+    import os as _os
+
+    out = str(tmp_path / "dedup")
+    base = "a corpus body that will be near duplicated after the crash happens"
+    streaming.dedup_batch(
+        spark, spark.createDataFrame([(1, base, "s1")], streaming.DOCUMENTS_SCHEMA), out
+    )
+    # simulate the mid-swap crash state for BOTH tables
+    for name in ("band_index", "accepted"):
+        p = _os.path.join(out, name)
+        _os.replace(p, p + ".compact.old")
+    c = streaming.dedup_batch(
+        spark,
+        spark.createDataFrame([(2, base + " extra", "s2")], streaming.DOCUMENTS_SCHEMA),
+        out,
+        threshold=0.7,
+    )
+    # recovery restored the index, so the near-dup is still rejected
+    assert c["index_dups"] == 1 and c["accepted"] == 0
+    assert spark.read.parquet(out + "/accepted").count() == 1
+
+
+def test_legacy_layout_raises_specific_error_and_rebuild_migrates(spark, tmp_path):
+    """A pre-layout-2 params file must fail with a layout-specific message
+    (not a misleading LSH-mismatch), and rebuild_band_index must migrate the
+    state in place without touching the accepted corpus."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    out = str(tmp_path / "dedup")
+    base = "the original accepted text that future arrivals nearly duplicate"
+    streaming.dedup_batch(
+        spark, spark.createDataFrame([(1, base, "s1")], streaming.DOCUMENTS_SCHEMA), out
+    )
+    # forge a legacy state: params without index_layout, index dir gone
+    # (its layout key/hash differed, so it is useless to the new code)
+    pp = _os.path.join(out, "_dedup_params.json")
+    with open(pp) as f:
+        params = _json.load(f)
+    params.pop("index_layout")
+    with open(pp, "w") as f:
+        _json.dump(params, f, sort_keys=True)
+    _shutil.rmtree(_os.path.join(out, "band_index"))
+
+    b2 = spark.createDataFrame([(2, base + " extra", "s2")], streaming.DOCUMENTS_SCHEMA)
+    with pytest.raises(ValueError, match="band-index layout.*rebuild_band_index"):
+        streaming.dedup_batch(spark, b2, out, threshold=0.7)
+
+    n = streaming.rebuild_band_index(spark, out)
+    assert n > 0
+    c = streaming.dedup_batch(spark, b2, out, threshold=0.7)
+    assert c["index_dups"] == 1 and c["accepted"] == 0  # history intact
+
+
+def test_mutated_same_id_redelivery_adds_no_stale_index_rows(spark, tmp_path):
+    """A re-delivered doc_id with DIFFERENT text must not append orphaned
+    (id, sig(new_text)) band rows: the accepted text is authoritative, and
+    stale rows would inflate hot-band cap counts until whole bands get
+    evicted from the probe."""
+    out = str(tmp_path / "dedup")
+    streaming.dedup_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, "original body of document one kept forever", "s1")],
+            streaming.DOCUMENTS_SCHEMA,
+        ),
+        out,
+    )
+    idx_before = spark.read.parquet(out + "/band_index")
+    rows_id1_before = idx_before.filter("doc_id = 1").count()
+    assert rows_id1_before > 0
+
+    c = streaming.dedup_batch(
+        spark,
+        spark.createDataFrame(
+            [(1, "completely different replacement text under the same id", "s1"),
+             (2, "an unrelated genuinely new document body", "s1")],
+            streaming.DOCUMENTS_SCHEMA,
+        ),
+        out,
+    )
+    assert c["already_present"] == 1 and c["accepted"] == 1
+    idx_after = spark.read.parquet(out + "/band_index")
+    # id 1 keeps EXACTLY its original band rows; id 2 got indexed
+    assert idx_after.filter("doc_id = 1").count() == rows_id1_before
+    assert idx_after.filter("doc_id = 2").count() > 0
