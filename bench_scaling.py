@@ -179,9 +179,16 @@ def main() -> None:
         f"{x['speedup']:.2f}x | {x['efficiency']:.3f} |"
         for i, x in enumerate(samples)
     )
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+    # Per-config autogenerated report.  BENCH/BASELINE.md itself is the
+    # hand-combined document covering every config + disclosure history;
+    # overwriting it from a single-config run kept clobbering that, so the
+    # generated report lands next to it instead.
+    report_path = os.path.join(ROOT, "BENCH", f"BASELINE_auto_{args.n}v{args.n4}.md")
+    with open(report_path, "w") as f:
         f.write(
-            "# BENCH/BASELINE — scaling protocol results\n\n"
+            f"# BENCH/BASELINE_auto_{args.n}v{args.n4} — scaling protocol results "
+            "(autogenerated by bench_scaling.py;\n"
+            "see BENCH/BASELINE.md for the hand-combined all-config summary)\n\n"
             "Identical extraction+linking job (Arrow pandas-UDF extraction,\n"
             "broadcast dictionary link, triple dedup) run in separate JVMs on\n"
             f"the same {small['turns']:,}-turn input, generated distributed\n"
