@@ -89,6 +89,24 @@ def run_at(cores: int, n_convs: int) -> dict:
     raise RuntimeError(f"worker({cores}) failed:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
+def weather_probe() -> dict | None:
+    """One box-weather reading (scripts/bench_weather.py): CPU spin time and
+    1/8-thread DRAM copy bandwidth.  Samples bracketed by probes that agree
+    to ~10% were measured in comparable weather; a bench delta without a
+    probe delta is a code change, with a probe delta it is host contention
+    (BENCH/NOTES.md round-5 weather protocol — the late-round-5 storm showed
+    both bench sides reading 10-30% low at idle load average while the bus
+    oscillated between ~116-129 and 4-36 GB/s)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "scripts", "bench_weather.py")],
+            capture_output=True, text=True, timeout=600,
+        ).stdout.strip().splitlines()
+        return json.loads(out[-1]) if out else None
+    except Exception:  # noqa: BLE001 — a failed probe must not kill a sample
+        return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     # 36M turns (round 4, was 12M; round 3 moved 6M->12M for the same
@@ -130,13 +148,17 @@ def main() -> None:
     except Exception:  # noqa: BLE001 — no git in some environments
         rev = "unknown"
     for s in range(args.samples):
+        probe_before = weather_probe()
         small = run_at(args.n, n_convs)
         large = run_at(args.n4, n_convs)
+        probe_after = weather_probe()
         ratio = large["tps"] / small["tps"]
         efficiency = ratio / (args.n4 / args.n)
         samples.append({"small": small, "large": large,
                         "speedup": ratio, "efficiency": efficiency,
-                        "rev": rev})
+                        "rev": rev,
+                        "probe_before": probe_before,
+                        "probe_after": probe_after})
         store[cfg_key] = samples
         os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
         with open(samples_path, "w") as f:
