@@ -99,6 +99,16 @@ PRED_SYNONYM = "SYNONYM"
 _WS = re.compile(GAP_CLASS)
 
 
+# Memo for normalize_alias: the hot path calls it on gazetteer MATCHES —
+# surface variants of a finite alias vocabulary — so hit rates are near 1
+# and the regex sub is ~13% of extraction-stage CPU (profile in
+# BENCH/NOTES.md).  Capped because the synonym path feeds it arbitrary
+# text: once full, new strings compute uncached (still correct) instead of
+# growing executor memory without bound at corpus scale.
+_NORM_CACHE: dict[str, str] = {}
+_NORM_CACHE_MAX = 65536
+
+
 def normalize_alias(s: str) -> str:
     """Collapse case / underscore / dash / whitespace variants onto one key.
 
@@ -106,7 +116,12 @@ def normalize_alias(s: str) -> str:
     operation-for-operation.  Deliberately NOT ``s.strip()``: Python's str
     whitespace includes U+001C-1F, so stripping first would fold characters
     the SQL path keeps."""
-    return _WS.sub(" ", s.lower()).strip(" ")
+    v = _NORM_CACHE.get(s)
+    if v is None:
+        v = _WS.sub(" ", s.lower()).strip(" ")
+        if len(_NORM_CACHE) < _NORM_CACHE_MAX:
+            _NORM_CACHE[s] = v
+    return v
 
 
 def build_gazetteer_regex(aliases: list[str]) -> re.Pattern:
