@@ -80,11 +80,12 @@ def estimate_alias_map_bytes(dictionary: DataFrame) -> int:
     """Estimated in-memory size of the broadcast alias map.
 
     One cheap aggregate over the DICTIONARY (the dimension side — never the
-    mention stream): per exploded alias, its UTF8 chars plus the repeated
-    name/type payload plus ~64 bytes of UnsafeRow + hash-map overhead (the
-    BytesToBytesMap a BroadcastHashJoin builds).  Deliberately conservative
-    (x2 on string bytes) — overestimating flips to the scale-safe salted
-    join early, underestimating OOMs executors."""
+    mention stream): per exploded alias, its UTF-8 BYTES (octet_length, not
+    length — character counts under-count 3-4-byte CJK dictionaries) plus
+    the repeated name/type payload plus ~64 bytes of UnsafeRow + hash-map
+    overhead (the BytesToBytesMap a BroadcastHashJoin builds).  Deliberately
+    conservative (x2 on byte counts as pure headroom) — overestimating flips
+    to the scale-safe salted join early, underestimating OOMs executors."""
     # null-hardened: size(NULL) is -1 (non-ANSI) and NULL lengths drop out
     # of sums — unguarded, a dictionary with many NULL alias arrays or NULL
     # names would UNDER-estimate and broadcast an oversized map (the exact
@@ -95,7 +96,7 @@ def estimate_alias_map_bytes(dictionary: DataFrame) -> int:
             F.sum(
                 F.expr(
                     "aggregate(coalesce(aliases, array()), 0L,"
-                    " (acc, a) -> acc + coalesce(length(a), 0))"
+                    " (acc, a) -> acc + coalesce(octet_length(a), 0))"
                 )
             ),
             F.lit(0),
@@ -105,8 +106,8 @@ def estimate_alias_map_bytes(dictionary: DataFrame) -> int:
             F.sum(
                 n_alias
                 * (
-                    F.coalesce(F.length("canonical_name"), F.lit(0))
-                    + F.coalesce(F.length("entity_type"), F.lit(0))
+                    F.coalesce(F.octet_length("canonical_name"), F.lit(0))
+                    + F.coalesce(F.octet_length("entity_type"), F.lit(0))
                 )
             ),
             F.lit(0),

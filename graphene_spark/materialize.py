@@ -160,6 +160,35 @@ def read_merged_pruned(
     return spark.read.parquet(path).filter(F.col("_kb").isin(touched)).drop("_kb")
 
 
+def _compaction_lock_alive(path: str) -> bool:
+    """True while another LIVE process holds the compaction lock for ``path``.
+
+    The lock file holds the compactor's pid; a pid that no longer exists is a
+    crash leftover and does not count (the stale file itself is reaped by the
+    next ``compact_merged``).  This is what makes ``recover_compaction`` safe
+    to call from every reader/writer entry point: without it, a concurrent
+    reader would rmtree the in-flight compaction's ``.compact.tmp`` mid-run
+    and the compactor's ``os.replace(tmp, path)`` would raise after ``path``
+    was already renamed away — briefly losing the table."""
+    lock = path.rstrip("/") + ".compact.lock"
+    try:
+        with open(lock) as f:
+            pid = int(f.read().strip() or "0")
+    except (OSError, ValueError):
+        return False
+    if pid <= 0 or pid == os.getpid():
+        # our own lock (compact_merged runs recover_compaction while holding
+        # it, to repair a PRIOR crash on entry) never blocks us
+        return False
+    try:
+        os.kill(pid, 0)  # signal 0 = existence check only
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists but owned by another user
+    return True
+
+
 def recover_compaction(path: str) -> bool:
     """Repair a table whose compaction crashed mid-swap; returns True if a
     repair happened.
@@ -169,7 +198,12 @@ def recover_compaction(path: str) -> bool:
     missing path would otherwise be silently read as FIRST-RUN state by
     every ``os.path.exists`` caller (dedup_batch would forget its whole
     dedup history).  Every entry point that existence-checks a merged table
-    calls this first; the repair itself is a single atomic rename."""
+    calls this first; the repair itself is a single atomic rename.
+
+    No-op while a LIVE compactor holds the lock — its half-finished state is
+    work in progress, not a crash."""
+    if _compaction_lock_alive(path):
+        return False
     old = path.rstrip("/") + ".compact.old"
     tmp = path.rstrip("/") + ".compact.tmp"
     repaired = False
@@ -201,20 +235,43 @@ def compact_merged(spark: SparkSession, path: str) -> dict:
     must be re-run.
 
     Returns {"files_before", "files_after", "rows"} for the caller's lineage.
+
+    Single-writer enforced: a pid-stamped ``<path>.compact.lock`` is held for
+    the whole rewrite+swap, concurrent ``compact_merged`` calls fail fast,
+    and ``recover_compaction`` leaves everything alone while the holder is
+    alive.  A crash leaves a stale lock (dead pid) that the next call reaps.
     """
-    recover_compaction(path)
-    df = spark.read.parquet(path)
-    files_before = len(df.inputFiles())
-    rows = df.count()
-    tmp = path.rstrip("/") + ".compact.tmp"
+    lock = path.rstrip("/") + ".compact.lock"
+    if _compaction_lock_alive(path):
+        raise RuntimeError(f"compaction already in progress for {path} (lock: {lock})")
+    if os.path.exists(lock):
+        os.remove(lock)  # stale: holder pid is dead
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        os.write(fd, str(os.getpid()).encode())
+    finally:
+        os.close(fd)
     old = path.rstrip("/") + ".compact.old"
-    # one shuffle keyed on the layout column -> exactly one task (and so one
-    # file) per _kb partition value
-    df.repartition(F.col("_kb")).write.partitionBy("_kb").parquet(tmp)
-    os.replace(path, old)
-    os.replace(tmp, path)
-    shutil.rmtree(old)
-    files_after = len(spark.read.parquet(path).inputFiles())
+    tmp = path.rstrip("/") + ".compact.tmp"
+    try:
+        recover_compaction(path)  # we hold the lock, so this repairs crashes only
+        df = spark.read.parquet(path)
+        files_before = len(df.inputFiles())
+        rows = df.count()
+        # one shuffle keyed on the layout column -> exactly one task (and so
+        # one file) per _kb partition value
+        df.repartition(F.col("_kb")).write.partitionBy("_kb").parquet(tmp)
+        os.replace(path, old)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            os.replace(old, path)  # restore — the original is still intact
+            raise
+        shutil.rmtree(old)
+        files_after = len(spark.read.parquet(path).inputFiles())
+    finally:
+        if os.path.exists(lock):
+            os.remove(lock)
     return {"files_before": files_before, "files_after": files_after, "rows": rows}
 
 

@@ -341,6 +341,15 @@ def dedup_batch(
     # replay (same text -> same sigs -> keyed no-op) completes the accepted
     # insert.  The reverse order could leave an ACCEPTED doc with no index
     # rows — invisible to every future probe.
+    # Residual window (accepted, not fixed): if the crashed batch is
+    # replayed with the SAME doc_id but DIFFERENT text, the crashed
+    # attempt's band rows (sigs of the old text) stay in the index forever —
+    # the pre_existing anti-join below only filters ids already in
+    # `accepted`, and the identity key includes band_sig so the keyed merge
+    # won't collapse them.  Never a wrong accept/reject (verify re-shingles
+    # the accepted text), only permanent index garbage inflating hot-band
+    # cap counts and candidate joins; `rebuild_band_index(force=True)` is
+    # the repair path.
     survivors = survivors.persist()
     n_survive = survivors.count()
     index_rows = banded.withColumnsRenamed({"_id": id_col})
@@ -392,15 +401,22 @@ def rebuild_band_index(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    force: bool = False,
 ) -> int:
     """Rebuild ``band_index`` from the accepted corpus under the CURRENT
     index layout — the migration path for pre-layout-2 state dirs (the
     params guard in ``dedup_batch`` points here) and the repair tool for any
-    suspected index corruption.  The accepted corpus and its dedup history
-    are read-only inputs; only the index directory and the params file are
-    rewritten.  Crash-safe: the params file is updated only after the index
-    rebuild completes, so an interrupted migration re-raises the layout
-    error and can simply be re-run.  Returns the number of index rows."""
+    suspected index corruption (e.g. the stale-band-rows residual window
+    documented in ``dedup_batch``).  The accepted corpus and its dedup
+    history are read-only inputs; only the index directory and the params
+    file are rewritten.  Crash-safe: the params file is updated only after
+    the index rebuild completes, so an interrupted migration re-raises the
+    layout error and can simply be re-run.  Returns the number of index rows.
+
+    When the stored params already say ``index_layout == 2`` (migration done)
+    this is a no-op returning -1 — an operator double-running the migration
+    must not rmtree and regenerate a possibly huge healthy index.  Pass
+    ``force=True`` for an intentional repair rebuild."""
     import json
 
     from .tdp import dedup as dd
@@ -408,6 +424,8 @@ def rebuild_band_index(
     params_path = os.path.join(out_dir, "_dedup_params.json")
     with open(params_path) as f:
         stored = json.load(f)
+    if stored.get("index_layout") == 2 and not force:
+        return -1
     lsh = {k: stored[k] for k in ("ngram_words", "num_hashes", "bands")}
 
     accepted_path = os.path.join(out_dir, "accepted")
