@@ -36,7 +36,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from . import rules
+from . import native_scan, rules
 
 # --- executor-side gazetteer cache ------------------------------------------
 # The alias list is shipped once per task via closure capture (Spark broadcasts
@@ -108,11 +108,18 @@ def _validate_kinds(kinds):
         )
 
 
-def _extract_batch(conv_in, turn_in, text_in, gaz, kinds=None):
+def _extract_batch(conv_in, turn_in, text_in, gaz, kinds=None, mentions_pre=None):
     """Shared per-row emit loop of extract_rows / extract_rows_arrow —
     returns the ten flat output lists.  ONE definition so the pandas and
     Arrow paths cannot silently diverge (their row-for-row parity is
     pinned by tests/test_extract.py).
+
+    ``mentions_pre`` (optional, row-aligned) carries mention lists already
+    computed by the C gazetteer scanner (native_scan.py) for the whole
+    batch; a ``None`` entry means "scan this row with the regex" (non-ASCII
+    rows, or the native path unavailable).  Both branches feed the same
+    ``rules.extract_turn_from_mentions`` body, so the triple grammar is
+    one code path regardless of which engine found the mentions.
 
     ``kinds`` (None = all of turn/mention/triple) is the kind filter PUSHED
     INSIDE the Python stage: Catalyst cannot push a post-UDF filter through
@@ -124,24 +131,34 @@ def _extract_batch(conv_in, turn_in, text_in, gaz, kinds=None):
     want_turn = kinds is None or "turn" in kinds
     want_mention = kinds is None or "mention" in kinds
     want_triple = kinds is None or "triple" in kinds
-    conv_o, turn_o, kind_o = [], [], []
-    subj_o, pred_o, obj_o, surf_o = [], [], [], []
-    nm_o, nt_o, err_o = [], [], []
-    # bound-method locals: this loop emits ~2.5 rows/turn x 10 columns, and
-    # the generic emit(...) closure it replaced was ~20% of stage CPU
-    # (attribute lookups + call/kwarg overhead); the hot paths below append
-    # directly through these locals instead
-    a_conv, a_turn, a_kind = conv_o.append, turn_o.append, kind_o.append
-    a_subj, a_pred, a_obj = subj_o.append, pred_o.append, obj_o.append
-    a_surf, a_nm, a_nt, a_err = surf_o.append, nm_o.append, nt_o.append, err_o.append
+    # Per-KIND column blocks instead of one interleaved 10-column row
+    # stream (round-5 profile: the emit plumbing was 19% of stage CPU, most
+    # of it appending constants — kind strings, null subj/pred/obj/surface,
+    # zero counters).  Blocks only store the columns that VARY for their
+    # kind (~10 appends/turn vs 25); the constant columns are materialized
+    # O(1)/vectorized at batch-assembly time (pa.nulls / np.zeros).  Row
+    # ORDER changes (turn rows, then mentions, then triples, per batch) —
+    # every consumer and parity pin is order-insensitive (filters, groupBy,
+    # sorted/hash comparisons).
+    t_conv, t_turn, t_nm, t_nt, t_err = [], [], [], [], []
+    m_conv, m_turn, m_surf = [], [], []
+    r_conv, r_turn, r_subj, r_pred, r_obj = [], [], [], [], []
+    at_conv, at_turn, at_nm = t_conv.append, t_turn.append, t_nm.append
+    at_nt, at_err = t_nt.append, t_err.append
+    am_conv, am_turn, am_surf = m_conv.append, m_turn.append, m_surf.append
+    ar_conv, ar_turn = r_conv.append, r_turn.append
+    ar_subj, ar_pred, ar_obj = r_subj.append, r_pred.append, r_obj.append
     extract_turn = rules.extract_turn
+    finish_turn = rules.extract_turn_from_mentions
+    if mentions_pre is None:
+        from itertools import repeat
+
+        mentions_pre = repeat(None)
 
     def emit_turn(conv, turn, nm, nt, err):
-        a_conv(conv); a_turn(turn); a_kind("turn")
-        a_subj(None); a_pred(None); a_obj(None); a_surf(None)
-        a_nm(nm); a_nt(nt); a_err(err)
+        at_conv(conv); at_turn(turn); at_nm(nm); at_nt(nt); at_err(err)
 
-    for conv, turn, text in zip(conv_in, turn_in, text_in):
+    for conv, turn, text, pre in zip(conv_in, turn_in, text_in, mentions_pre):
         try:
             # inside the try: a NULL turn_idx arrives as NaN (pandas) or
             # None (Arrow to_pylist) and int() raises — a bad row must
@@ -151,24 +168,28 @@ def _extract_batch(conv_in, turn_in, text_in, gaz, kinds=None):
                 if want_turn:
                     emit_turn(conv, turn, 0, 0, 1)
                 continue
-            mentions, triples = extract_turn(text, gaz)
+            if pre is not None:
+                mentions, triples = finish_turn(text, pre)
+            else:
+                mentions, triples = extract_turn(text, gaz)
             if want_turn:
                 emit_turn(conv, turn, len(mentions), len(triples), 0)
             if want_mention:
                 for m in mentions:
-                    a_conv(conv); a_turn(turn); a_kind("mention")
-                    a_subj(None); a_pred(None); a_obj(None); a_surf(m)
-                    a_nm(0); a_nt(0); a_err(0)
+                    am_conv(conv); am_turn(turn); am_surf(m)
             if want_triple:
                 for t in triples:
-                    a_conv(conv); a_turn(turn); a_kind("triple")
-                    a_subj(t.subj); a_pred(t.pred); a_obj(t.obj); a_surf(None)
-                    a_nm(0); a_nt(0); a_err(0)
+                    ar_conv(conv); ar_turn(turn)
+                    ar_subj(t.subj); ar_pred(t.pred); ar_obj(t.obj)
         except Exception:  # noqa: BLE001 — skip bad rows with a metric
             if want_turn:
                 emit_turn(conv, turn if isinstance(turn, int) else -1, 0, 0, 1)
 
-    return (conv_o, turn_o, kind_o, subj_o, pred_o, obj_o, surf_o, nm_o, nt_o, err_o)
+    return (
+        (t_conv, t_turn, t_nm, t_nt, t_err),
+        (m_conv, m_turn, m_surf),
+        (r_conv, r_turn, r_subj, r_pred, r_obj),
+    )
 
 
 def extract_rows(
@@ -187,23 +208,56 @@ def extract_rows(
         import pandas as pd  # local import for executor workers
 
         gaz = _gaz_for(alias_tuple)
+        scanner = native_scan.scanner_for(alias_tuple)
         for pdf in batches:
-            (conv_o, turn_o, kind_o, subj_o, pred_o, obj_o,
-             surf_o, nm_o, nt_o, err_o) = _extract_batch(
-                pdf["conv_id"], pdf["turn_idx"], pdf["text"], gaz, kinds
+            pre = None
+            if scanner is not None:
+                pre = scanner.scan_texts(list(pdf["text"]))
+            blocks = _extract_batch(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"], gaz, kinds,
+                mentions_pre=pre,
             )
-            yield pd.DataFrame(
-                {
-                    "conv_id": conv_o, "turn_idx": turn_o, "kind": kind_o,
-                    "subj": subj_o, "pred": pred_o, "obj": obj_o,
-                    "surface": surf_o, "n_mentions": nm_o, "n_triples": nt_o,
-                    "is_error": err_o,
-                }
-            )
+            # one DataFrame per non-empty kind block (mapInPandas accepts
+            # any number of frames per input batch) — constant columns are
+            # built whole, never appended per row
+            for df in _blocks_to_pandas(pd, blocks):
+                yield df
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         gen, schema=EXTRACT_ROWS_SCHEMA
     )
+
+
+def _blocks_to_pandas(pd, blocks):
+    (t_conv, t_turn, t_nm, t_nt, t_err), (m_conv, m_turn, m_surf), \
+        (r_conv, r_turn, r_subj, r_pred, r_obj) = blocks
+    n = len(t_conv)
+    if n:
+        yield pd.DataFrame(
+            {
+                "conv_id": t_conv, "turn_idx": t_turn, "kind": "turn",
+                "subj": None, "pred": None, "obj": None, "surface": None,
+                "n_mentions": t_nm, "n_triples": t_nt, "is_error": t_err,
+            }
+        )
+    n = len(m_conv)
+    if n:
+        yield pd.DataFrame(
+            {
+                "conv_id": m_conv, "turn_idx": m_turn, "kind": "mention",
+                "subj": None, "pred": None, "obj": None, "surface": m_surf,
+                "n_mentions": 0, "n_triples": 0, "is_error": 0,
+            }
+        )
+    n = len(r_conv)
+    if n:
+        yield pd.DataFrame(
+            {
+                "conv_id": r_conv, "turn_idx": r_turn, "kind": "triple",
+                "subj": r_subj, "pred": r_pred, "obj": r_obj, "surface": None,
+                "n_mentions": 0, "n_triples": 0, "is_error": 0,
+            }
+        )
 
 
 def triples_from_rows(rows: DataFrame) -> DataFrame:
@@ -264,27 +318,71 @@ def extract_rows_arrow(
             ]
         )
         gaz = _gaz_for(alias_tuple)
+        scanner = native_scan.scanner_for(alias_tuple)
         for rb in batches:
             names = rb.schema.names
             conv_in = rb.column(names.index("conv_id")).to_pylist()
             turn_in = rb.column(names.index("turn_idx")).to_pylist()
-            text_in = rb.column(names.index("text")).to_pylist()
-            (conv_o, turn_o, kind_o, subj_o, pred_o, obj_o,
-             surf_o, nm_o, nt_o, err_o) = _extract_batch(conv_in, turn_in, text_in, gaz, kinds)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(conv_o, pa.string()), pa.array(turn_o, pa.int32()),
-                    pa.array(kind_o, pa.string()), pa.array(subj_o, pa.string()),
-                    pa.array(pred_o, pa.string()), pa.array(obj_o, pa.string()),
-                    pa.array(surf_o, pa.string()), pa.array(nm_o, pa.int32()),
-                    pa.array(nt_o, pa.int32()), pa.array(err_o, pa.int32()),
-                ],
-                schema=schema,
-            )
+            text_arr = rb.column(names.index("text"))
+            text_in = text_arr.to_pylist()
+            pre = None
+            if scanner is not None:
+                # scans the RecordBatch's raw UTF-8 buffer in one C call —
+                # no per-row call overhead, no Match objects
+                pre = scanner.scan_arrow(text_arr, text_in)
+            blocks = _extract_batch(
+                conv_in, turn_in, text_in, gaz, kinds, mentions_pre=pre)
+            # one RecordBatch per non-empty kind block (mapInArrow accepts
+            # any number of batches per input batch); constant columns via
+            # pa.nulls / pa.repeat — O(1)-ish builds, no per-row appends
+            yield from _blocks_to_arrow(pa, schema, blocks)
 
     return transcripts.select("conv_id", "turn_idx", "text").mapInArrow(
         gen, schema=EXTRACT_ROWS_SCHEMA
     )
+
+
+def _blocks_to_arrow(pa, schema, blocks):
+    (t_conv, t_turn, t_nm, t_nt, t_err), (m_conv, m_turn, m_surf), \
+        (r_conv, r_turn, r_subj, r_pred, r_obj) = blocks
+    s, i32 = pa.string(), pa.int32()
+
+    def zeros(n):
+        return pa.repeat(pa.scalar(0, i32), n)
+
+    n = len(t_conv)
+    if n:
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(t_conv, s), pa.array(t_turn, i32),
+                pa.repeat("turn", n), pa.nulls(n, s), pa.nulls(n, s),
+                pa.nulls(n, s), pa.nulls(n, s), pa.array(t_nm, i32),
+                pa.array(t_nt, i32), pa.array(t_err, i32),
+            ],
+            schema=schema,
+        )
+    n = len(m_conv)
+    if n:
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(m_conv, s), pa.array(m_turn, i32),
+                pa.repeat("mention", n), pa.nulls(n, s), pa.nulls(n, s),
+                pa.nulls(n, s), pa.array(m_surf, s), zeros(n),
+                zeros(n), zeros(n),
+            ],
+            schema=schema,
+        )
+    n = len(r_conv)
+    if n:
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(r_conv, s), pa.array(r_turn, i32),
+                pa.repeat("triple", n), pa.array(r_subj, s),
+                pa.array(r_pred, s), pa.array(r_obj, s), pa.nulls(n, s),
+                zeros(n), zeros(n), zeros(n),
+            ],
+            schema=schema,
+        )
 
 
 # ---------------------------------------------------------------------------

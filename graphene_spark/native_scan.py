@@ -1,0 +1,324 @@
+"""C-accelerated gazetteer scan (the Aho-Corasick-style automaton path).
+
+``rules.build_gazetteer_regex`` documents the compiled trie regex as adequate
+up to ~10^5 aliases and names a broadcast automaton as the production path at
+100 TB; this module IS that path.  The automaton (``native/acscan.c``) walks
+the same disjoint-branch trie the regex compiles, directly over the raw UTF-8
+buffer of a pyarrow StringArray — one ctypes call per Arrow batch, no Match
+objects, no per-turn call overhead.  Profiled at ~26% of extraction-stage CPU
+(BENCH/NOTES.md), the regex scan is the single largest line item; the C walk
+removes the sre bytecode-interpreter constant from it.
+
+Parity contract (pinned by tests/test_native_scan.py and the three-way fuzz
+test in tests/test_extract.py):
+
+* The scanner is used ONLY for rows whose UTF-8 bytes are all < 0x80.  Any
+  non-ASCII byte flags the row for the caller's regex fallback, because
+  non-ASCII codepoints can case-fold INTO the trie (U+212A KELVIN SIGN -> k,
+  U+017F LONG S -> s) and fold into the [A-Za-z0-9] boundary class — exactly
+  the cases where a byte-level scan would diverge from re.IGNORECASE.
+* Alias literals are folded with sre's own single-char semantics: simple
+  lowercase (U+0130 folds to plain 'i', where str.lower() would expand to
+  two codepoints) plus the ``re._casefix._EXTRA_CASES`` equivalence classes
+  (so an alias containing U+017F LONG S still matches ASCII 's' text).
+  An alias with a literal that no ASCII byte can fold to (e.g. Greek mu)
+  can never match ASCII text, so it is simply omitted from the automaton.
+* The oracle (oracle.py) keeps the frozen regex path unconditionally — the
+  P/R and fuzz comparisons therefore cross-check this scanner continuously.
+
+Everything degrades gracefully: no gcc / failed compile / env kill-switch
+``GRAPHENE_SPARK_NO_NATIVE_SCAN=1`` -> ``scanner_for`` returns None and the
+extractors use the regex for every row (the round-5 behavior).  On a real
+cluster each executor host compiles once into its local tmp dir (content-
+hash-keyed, atomic rename, multi-process safe).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+
+from . import rules
+
+_C_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native", "acscan.c")
+
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_LIB_TRIED = False
+
+# sre's extended single-char case equivalences (re._casefix is the runtime
+# source of truth; the fallback covers the ASCII-relevant pairs for any
+# future stdlib layout change — values frozen from CPython 3.11).
+try:  # pragma: no cover - import shape varies by CPython version
+    from re import _casefix
+
+    _EXTRA_CASES: dict[int, tuple[int, ...]] = dict(_casefix._EXTRA_CASES)
+except Exception:  # noqa: BLE001
+    _EXTRA_CASES = {0x69: (0x131,), 0x73: (0x17F,), 0x131: (0x69,), 0x17F: (0x73,)}
+
+
+def _compile_lib() -> ctypes.CDLL | None:
+    """Compile (or reuse) the scanner .so; None on any failure.
+
+    Cache key = sha256 of the C source, so a source edit never reuses a
+    stale binary; the rename is atomic, so concurrent Python workers on one
+    host race harmlessly (last writer wins with identical bytes)."""
+    if os.environ.get("GRAPHENE_SPARK_NO_NATIVE_SCAN"):
+        return None
+    import shutil
+
+    cc = shutil.which("gcc") or shutil.which("cc")
+    if cc is None:
+        return None
+    try:
+        with open(_C_PATH, "rb") as f:
+            src_bytes = f.read()
+    except OSError:
+        return None
+    h = hashlib.sha256(src_bytes).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), f"gs_native_{os.getuid()}")
+    so = os.path.join(cache, f"acscan_{h}.so")
+    if not os.path.exists(so):
+        try:
+            os.makedirs(cache, exist_ok=True)
+            tmp = f"{so}.tmp.{os.getpid()}"
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _C_PATH],
+                check=True, capture_output=True, timeout=120,
+            )
+            os.replace(tmp, so)
+        except Exception:  # noqa: BLE001 — no compiler toolchain -> regex path
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.gs_scan_batch.restype = ctypes.c_longlong
+    lib.gs_scan_batch.argtypes = [
+        ctypes.c_void_p,  # data
+        ctypes.c_void_p,  # offsets (int64*)
+        ctypes.c_int64,   # nrows
+        ctypes.c_void_p,  # children (int32*)
+        ctypes.c_void_p,  # endflag (uint8*)
+        ctypes.c_void_p,  # gapchild (int32*)
+        ctypes.c_int32,   # maxdepth
+        ctypes.c_void_p,  # m_row (int64*)
+        ctypes.c_void_p,  # m_start (int64*)
+        ctypes.c_void_p,  # m_end (int64*)
+        ctypes.c_int64,   # cap
+        ctypes.c_void_p,  # row_fallback (uint8*)
+    ]
+    return lib
+
+
+def _get_lib() -> ctypes.CDLL | None:
+    global _LIB, _LIB_TRIED
+    with _LOCK:
+        if not _LIB_TRIED:
+            _LIB = _compile_lib()
+            _LIB_TRIED = True
+        return _LIB
+
+
+def _ascii_literal(ch: str) -> int | None:
+    """The ASCII input byte (post tolower-fold) that matches pattern literal
+    ``ch`` under re.IGNORECASE, or None if no ASCII byte can match it."""
+    low = "i" if ch == "İ" else ch.lower()
+    if len(low) != 1:  # multi-char full lowering (only U+0130 in Unicode,
+        return None    # handled above) — not representable per-byte
+    o = ord(low)
+    if o < 128:
+        return o
+    for eq in _EXTRA_CASES.get(o, ()):
+        if eq < 128:
+            return eq  # e.g. U+017F LONG S: ASCII 's' text matches it
+    return None
+
+
+_MAX_DEPTH = 511  # GS_MAX_DEPTH - 1 in acscan.c
+
+# Shared result for "scanned, zero mentions" rows — a contractually
+# READ-ONLY list (every consumer of scan output only iterates/indexes;
+# rules.extract_turn_from_mentions and extract._extract_batch never mutate
+# their mentions argument).  Sharing it avoids one list allocation per
+# mention-less row, the largest Python cost in the scan path.
+_EMPTY: list = []
+
+
+class AsciiGazetteerScanner:
+    """Flattened trie + the compiled library, built once per process per
+    alias tuple (extract.py caches instances the way it caches the regex)."""
+
+    def __init__(self, lib: ctypes.CDLL, aliases: list[str]):
+        import numpy as np
+
+        self._lib = lib
+        norms = sorted({rules.normalize_alias(a) for a in aliases if a and a.strip()})
+        children: list[dict[int, int]] = [{}]
+        gapchild = [-1]
+        endflag = [0]
+        maxdepth = 0
+        for n in norms:
+            path: list[int | None] = []
+            ok = True
+            for ti, tok in enumerate(n.split(" ")):
+                if ti:
+                    path.append(None)  # token gap
+                for ch in tok:
+                    b = _ascii_literal(ch)
+                    if b is None:
+                        ok = False  # can never match ASCII text — omit
+                        break
+                    path.append(b)
+                if not ok:
+                    break
+            if not ok or not path or len(path) > _MAX_DEPTH:
+                continue
+            node = 0
+            for p in path:
+                if p is None:
+                    nxt = gapchild[node]
+                    if nxt < 0:
+                        nxt = len(children)
+                        gapchild[node] = nxt
+                        children.append({})
+                        gapchild.append(-1)
+                        endflag.append(0)
+                else:
+                    nxt = children[node].get(p, -1)
+                    if nxt < 0:
+                        nxt = len(children)
+                        children[node][p] = nxt
+                        children.append({})
+                        gapchild.append(-1)
+                        endflag.append(0)
+                node = nxt
+            endflag[node] = 1
+            maxdepth = max(maxdepth, len(path))
+
+        nn = len(children)
+        flat = np.full(nn * 128, -1, dtype=np.int32)
+        for i, edges in enumerate(children):
+            for b, tgt in edges.items():
+                flat[i * 128 + b] = tgt
+        self._children = flat
+        self._endflag = np.array(endflag, dtype=np.uint8)
+        self._gapchild = np.array(gapchild, dtype=np.int32)
+        self._maxdepth = maxdepth
+
+    def scan_arrow(self, arr, texts: list | None = None) -> list:
+        """Mentions per row of a pyarrow StringArray.
+
+        Returns a list aligned with ``arr``: ``list[str]`` for rows the
+        automaton handled, ``None`` for rows needing the regex fallback
+        (non-ASCII bytes).  ``texts`` is the caller's ``to_pylist()`` (it
+        needs the Python strings for the triple patterns anyway); surfaces
+        are sliced from it — byte offsets == char offsets on ASCII rows."""
+        import numpy as np
+        import pyarrow as pa
+
+        n = len(arr)
+        if n == 0:
+            return []
+        if texts is None:
+            texts = arr.to_pylist()
+        if pa.types.is_large_string(arr.type):
+            odt = np.int64
+        elif pa.types.is_string(arr.type):
+            odt = np.int32
+        else:  # unexpected physical type — let the regex handle everything
+            return [None] * n
+        bufs = arr.buffers()
+        off_buf, data_buf = bufs[1], bufs[2]
+        if off_buf is None:
+            return [None] * n
+        offs = np.frombuffer(off_buf, dtype=odt, count=arr.offset + n + 1)[
+            arr.offset:
+        ].astype(np.int64)
+        if data_buf is None:  # all rows null/empty
+            return [_EMPTY if t is not None else None for t in texts]
+        total = int(offs[-1] - offs[0])
+        fallback = np.zeros(n, dtype=np.uint8)
+        cap = max(64, total // 8)
+        while True:
+            m_row = np.empty(cap, dtype=np.int64)
+            m_start = np.empty(cap, dtype=np.int64)
+            m_end = np.empty(cap, dtype=np.int64)
+            nm = self._lib.gs_scan_batch(
+                ctypes.c_void_p(data_buf.address),
+                offs.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int64(n),
+                self._children.ctypes.data_as(ctypes.c_void_p),
+                self._endflag.ctypes.data_as(ctypes.c_void_p),
+                self._gapchild.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int32(self._maxdepth),
+                m_row.ctypes.data_as(ctypes.c_void_p),
+                m_start.ctypes.data_as(ctypes.c_void_p),
+                m_end.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int64(cap),
+                fallback.ctypes.data_as(ctypes.c_void_p),
+            )
+            if nm == -1:
+                # matches are non-overlapping and >= 1 byte, so total bytes
+                # is an absolute bound — the second pass cannot overflow
+                cap = total + 1
+                continue
+            if nm < 0:  # -2: depth bound — cannot happen (checked at build)
+                return [None] * n
+            break
+        # tolist() first: per-element numpy scalar indexing is ~5x slower
+        # than iterating plain ints.  Rows without matches share _EMPTY
+        # (never mutated — consumers only read) instead of each allocating a
+        # fresh []: the per-row allocations were 104ms of a 280ms scan at
+        # 200k rows, the C walk itself 34ms (profile in BENCH/NOTES.md).
+        out: list = [_EMPTY if f == 0 else None for f in fallback.tolist()]
+        nm = int(nm)
+        prev = -1
+        for r, s, e in zip(
+            m_row[:nm].tolist(), m_start[:nm].tolist(), m_end[:nm].tolist()
+        ):
+            if r != prev:
+                # matches arrive row-ordered (the C scan is sequential), so
+                # per-row state hoists out of the inner appends
+                ms: list = []
+                out[r] = ms
+                ap = ms.append
+                t = texts[r]
+                prev = r
+            ap(t[s:e])
+        return out
+
+    def scan_texts(self, texts: list) -> list:
+        """List-of-str convenience wrapper (pandas path / tests)."""
+        import pyarrow as pa
+
+        try:
+            arr = pa.array(texts, pa.string())
+        except Exception:  # noqa: BLE001 — odd inputs -> regex for all rows
+            return [None] * len(texts)
+        return self.scan_arrow(arr, texts)
+
+
+_SCANNER_CACHE: dict[tuple[str, ...], AsciiGazetteerScanner | None] = {}
+
+
+def scanner_for(aliases: tuple[str, ...]) -> AsciiGazetteerScanner | None:
+    """Process-cached scanner for an alias tuple; None when the native path
+    is unavailable (no compiler, kill-switch set, or build failed)."""
+    if os.environ.get("GRAPHENE_SPARK_NO_NATIVE_SCAN"):
+        return None
+    if aliases in _SCANNER_CACHE:
+        return _SCANNER_CACHE[aliases]
+    lib = _get_lib()
+    scanner = None
+    if lib is not None:
+        try:
+            scanner = AsciiGazetteerScanner(lib, list(aliases))
+        except Exception:  # noqa: BLE001 — any build surprise -> regex path
+            scanner = None
+    _SCANNER_CACHE[aliases] = scanner
+    return scanner
