@@ -89,6 +89,46 @@ def bucket_sig_arrow(vec_col, n_planes: int, seed: int):
     return compute(vec_col)
 
 
+def probe_sigs_arrow(vec_col, n_planes: int, seed: int, n_probes: int):
+    """Query-directed multi-probe buckets (Lv et al., VLDB'07 shape): the
+    exact sign-bit bucket first, then single-bit flips in ascending
+    |margin| order (the planes the query sits closest to — the likeliest
+    buckets for a near neighbor to fall across), then the best two-bit
+    flip.  Truncated to ``n_probes`` signatures per vector.
+
+    Multi-probing lets the planes be FINER (smaller buckets) at the same
+    total scanned fraction: on the 100k-vector recall property test,
+    6 planes x 8 tables x 4 probes reaches recall@10 = 1.00 at the same
+    ~0.42 candidate fraction where the old 4x8x1 config scored 0.965
+    (numpy parameter sweep in BENCH/NOTES.md round-6)."""
+    import numpy as np
+
+    @F.pandas_udf("array<string>")
+    def compute(v: pd.Series) -> pd.Series:
+        x = _stack(v)
+        pl = _planes(n_planes, x.shape[1], seed)
+        marg = x @ pl.T
+        bits = marg >= 0
+        out = []
+        for row_bits, row_marg in zip(bits, np.abs(marg)):
+            base = ["1" if b else "0" for b in row_bits]
+            sigs = ["".join(base)]
+            order = np.argsort(row_marg, kind="stable")
+            for j in order:
+                s = base.copy()
+                s[j] = "0" if row_bits[j] else "1"
+                sigs.append("".join(s))
+            if len(order) >= 2:
+                s = base.copy()
+                for j in order[:2]:
+                    s[j] = "0" if row_bits[j] else "1"
+                sigs.append("".join(s))
+            out.append(sigs[:n_probes])
+        return pd.Series(out)
+
+    return compute(vec_col)
+
+
 def _nearest_cells_arrow(vec_col, cents: list[list[float]], n_probe: int):
     """array<int> of the n_probe nearest centroid ids by cosine (numpy).
     Ties break toward the lower centroid id (stable argsort on -sims)."""
@@ -110,11 +150,20 @@ def _nearest_cells_arrow(vec_col, cents: list[list[float]], n_probe: int):
     return compute(vec_col)
 
 
-def _centroids(corpus: DataFrame, corpus_id: str, corpus_vec: str, k: int, refine: bool = True):
-    """Deterministic IVF centroids: k hash-sampled seed vectors, optionally
-    refined by one Lloyd step (element-wise mean per cluster, computed with
-    posexplode + groupBy — fully distributed).  Returns a python list of
-    (centroid_id, vector) collected to the driver (k x dim floats — tiny)."""
+def _centroids(
+    corpus: DataFrame, corpus_id: str, corpus_vec: str, k: int, lloyd_iters: int = 1
+):
+    """Deterministic IVF centroids: k hash-sampled seed vectors refined by
+    ``lloyd_iters`` Lloyd steps (element-wise mean per cluster, computed with
+    posexplode + groupBy — fully distributed; each step is one narrow pass +
+    one k x dim-sized aggregate).  Returns a python list of centroid vectors
+    collected to the driver (k x dim floats — tiny).
+
+    More steps sharpen the Voronoi boundaries the probe set is chosen by:
+    on the 100k-vector recall property test, 3 steps lift recall@10 from
+    ~0.95 to ~0.99 at the SAME ~25% scanned fraction (numpy sweep in
+    BENCH/NOTES.md round-6); past ~3 the assignment is stable and further
+    steps are wasted passes."""
     seeds = (
         corpus.orderBy(F.xxhash64(F.col(corpus_id)))
         .limit(k)
@@ -125,7 +174,7 @@ def _centroids(corpus: DataFrame, corpus_id: str, corpus_vec: str, k: int, refin
     # a corpus smaller than k yields fewer seeds; clamp instead of indexing
     # past the end in the refine rebuild below
     k = len(cents)
-    if refine:
+    for _ in range(max(0, lloyd_iters)):
         assigned = corpus.select(
             F.col(corpus_vec).alias("v"),
             _nearest_cells_arrow(F.col(corpus_vec), cents, 1).getItem(0).alias("c"),
@@ -187,16 +236,18 @@ def ivf_topk(
     k: int = 10,
     n_lists: int = 8,
     n_probe: int = 3,
+    lloyd_iters: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
-    ``n_lists`` Voronoi cells around deterministic centroids, probe the
-    ``n_probe`` nearest cells per query, exact cosine within them.
+    ``n_lists`` Voronoi cells around deterministic centroids (refined by
+    ``lloyd_iters`` Lloyd steps — 3 recommended at scale, see _centroids),
+    probe the ``n_probe`` nearest cells per query, exact cosine within them.
 
     At 100 TB the corpus assignment is one narrow pass (the centroid table is
     driver-collected and inlined — k x dim floats), the probe join is an
     equi-join on the small cell id, and per-cell candidate lists shrink the
     scan by ~n_lists/n_probe."""
-    cents = _centroids(corpus, corpus_id, corpus_vec, n_lists)
+    cents = _centroids(corpus, corpus_id, corpus_vec, n_lists, lloyd_iters)
     c_assigned = corpus.select(
         F.col(corpus_id).alias("_cid"),
         F.col(corpus_vec).alias("_cv"),
@@ -232,37 +283,50 @@ def lsh_topk(
     n_planes: int = 4,
     n_tables: int = 4,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: multi-table random-hyperplane LSH.
+    """Approximate top-k: multi-table random-hyperplane LSH with optional
+    query-directed multi-probing.
 
     Each of ``n_tables`` hash tables assigns a sign-bit bucket; candidates =
     corpus rows sharing a bucket with the query in ANY table; then exact
     cosine + window top-k over candidates only.  Recall grows with n_tables;
-    cost per query drops from |corpus| to the bucket sizes."""
-    def tabled(df, id_col, vec_col, out_id, out_vec):
+    cost per query drops from |corpus| to the bucket sizes.  ``n_probes`` > 1
+    additionally probes the query's lowest-|margin| adjacent buckets per
+    table (probe_sigs_arrow), which buys the same recall from finer planes —
+    at 100 TB prefer n_planes=6, n_tables=8, n_probes=4 over widening the
+    buckets (recall 1.00 vs 0.965 at the same scanned fraction on the
+    100k-vector property test)."""
+    def tabled(df, id_col, vec_col, out_id, out_vec, probes: int):
         base = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+        if probes == 1:
+            sig = lambda t: F.array(bucket_sig_arrow(F.col(out_vec), n_planes, seed + t))  # noqa: E731
+        else:
+            sig = lambda t: probe_sigs_arrow(F.col(out_vec), n_planes, seed + t, probes)  # noqa: E731
         for t in range(n_tables):
-            base = base.withColumn(
-                f"_b{t}", bucket_sig_arrow(F.col(out_vec), n_planes, seed + t)
+            base = base.withColumn(f"_b{t}", sig(t))
+        def entries(t):
+            # NOTE: the transform lambda must take exactly ONE parameter —
+            # PySpark dispatches on lambda arity, and a second parameter
+            # (even defaulted, e.g. `lambda b, _t=t:`) receives the ARRAY
+            # INDEX, silently clobbering the closed-over table id
+            return F.transform(
+                f"_b{t}",
+                lambda b: F.struct(F.lit(t).alias("table_idx"), b.alias("bucket")),
             )
+
         return base.select(
             out_id,
             out_vec,
             F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table_idx"),
-                            F.col(f"_b{t}").alias("bucket"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
+                F.flatten(F.array(*[entries(t) for t in range(n_tables)]))
             ).alias("_t"),
         ).select(out_id, out_vec, "_t.table_idx", "_t.bucket")
 
-    c_tables = tabled(corpus, corpus_id, corpus_vec, "_cid", "_cv")
-    q_tables = tabled(queries, query_id, query_vec, "_qid", "_qv")
+    # multi-probing is QUERY-side only: the corpus is indexed under its one
+    # exact bucket per table, so the index size never grows with n_probes
+    c_tables = tabled(corpus, corpus_id, corpus_vec, "_cid", "_cv", 1)
+    q_tables = tabled(queries, query_id, query_vec, "_qid", "_qv", n_probes)
     cands = (
         c_tables.join(F.broadcast(q_tables), ["table_idx", "bucket"])
         .select("_qid", "_qv", "_cid", "_cv")

@@ -457,24 +457,34 @@ def test_ann_recall_at_10_on_100k_vectors(spark):
         similarity.brute_force_topk(corpus, queries, k=10)
     )
     recalls = {}
-    # 4 planes x 8 tables: at this corpus's within-cluster angular spread
-    # (~40 deg between noisy members) the per-table collision probability is
-    # (1 - theta/pi)^4 ~ 0.36, so missing all 8 tables is ~0.64^8 ~ 3% —
-    # the n_planes/n_tables trade is the real tuning surface at scale
-    # (8 planes x 4 tables measured only 0.43 recall here: buckets too fine)
+    # round-6 configs (numpy sweep in BENCH/NOTES.md): query-directed
+    # multi-probing buys FINER planes at the same scanned fraction —
+    # 6 planes x 8 tables x 4 probes = recall 1.00 at ~0.42 candidate
+    # fraction, where the round-4 4x8x1 config scored 0.965 at 0.41.
+    # (8 planes x 4 tables x 1 probe measured only 0.43: buckets too fine
+    # without probing; the probe count is what makes fine planes usable.)
     got = topk_sets(
-        similarity.lsh_topk(corpus, queries, k=10, n_planes=4, n_tables=8, seed=42)
+        similarity.lsh_topk(
+            corpus, queries, k=10, n_planes=6, n_tables=8, seed=42, n_probes=4
+        )
     )
     recalls["lsh"] = sum(
         len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
     ) / len(truth)
+    # IVF: the same finer-cells principle — 64 lists x 16 probes scans the
+    # same ~25% as 32x8 but quantizes the boundary neighborhoods twice as
+    # finely, and 3 Lloyd steps settle the cell boundaries (numpy sweep:
+    # 32x8 plateaus at ~0.95-0.98 regardless of init quality; 64x16 with
+    # 2-3 Lloyd steps reads 0.99-1.00 across seeds)
     got = topk_sets(
-        similarity.ivf_topk(corpus, queries, k=10, n_lists=32, n_probe=8)
+        similarity.ivf_topk(
+            corpus, queries, k=10, n_lists=64, n_probe=16, lloyd_iters=3
+        )
     )
     recalls["ivf"] = sum(
         len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
     ) / len(truth)
     corpus.unpersist()
     print(f"ANN recall@10 on 100k vectors: {recalls}")
-    assert recalls["lsh"] >= 0.9, recalls
-    assert recalls["ivf"] >= 0.9, recalls
+    assert recalls["lsh"] >= 0.98, recalls
+    assert recalls["ivf"] >= 0.98, recalls
