@@ -35,10 +35,37 @@ def _force(df) -> int:
     return 0
 
 
+def _weather_probe() -> dict | None:
+    """Box-weather reading (scripts/bench_weather.py), ~15s, no Spark.
+
+    Recorded before and after the timed region so every bench artifact
+    carries its own contention evidence: the BENCH_r05 retrospective showed
+    the shared DRAM bus can drop 116 -> 4.7 GB/s at idle load average,
+    inflating the total 13% with zero code change (BENCH/NOTES.md).  A
+    reading >= ~100 GB/s on ``memcpy_gbps_8t`` both sides marks the run
+    quiet-window comparable; a depressed reading marks it weather-suspect."""
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        import bench_weather as bw
+
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+        return {
+            "cpu_spin_ms": round(bw.cpu_spin_ms(), 1),
+            "memcpy_gbps_1t": round(bw.memcpy_1t(), 2),
+            "memcpy_gbps_8t": round(bw.memcpy_mt(), 2),
+            "load1": load1,
+            "ts": int(time.time()),
+        }
+    except Exception:
+        return None  # a bench must never fail on its weather telemetry
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = _sf_from_dir(sf_dir)
+    weather_before = _weather_probe()
 
     from graphene_spark.session import get_spark
 
@@ -132,6 +159,8 @@ def main() -> None:
     kg_sec_warm = kg_run()
 
     total = round(sum(timings.values()), 3)
+    spark.stop()
+    weather_after = _weather_probe()
     print(
         json.dumps(
             {
@@ -146,10 +175,11 @@ def main() -> None:
                 "kg_sec_warm": round(kg_sec_warm, 3),
                 "kg_turns_per_sec_warm": round(n_turns / kg_sec_warm, 1),
                 "cpus": cpus,
+                "weather_before": weather_before,
+                "weather_after": weather_after,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
