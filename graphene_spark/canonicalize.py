@@ -57,8 +57,59 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _freeze_converged(cur: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+    """Split ``cur`` into (still-active edges, newly-frozen edges, n_frozen).
+
+    A dst-group {(v_1..v_m) -> c} is a CLOSED STAR when none of its nodes
+    touches any other edge (each member has exactly one outgoing edge and no
+    incoming; the center has no outgoing) and the center is the group minimum.
+    A closed star is exactly the per-component fixpoint of the alternating
+    large-/small-star round (both rounds map it to itself, and star rounds
+    never move edges across components — every join/groupBy stays inside the
+    component), so its edges are final member->component rows and can be
+    dropped from all later rounds.  This is what cuts the long tail on
+    high-diameter graphs: the low-diameter bulk converges in a few rounds and
+    stops paying for the O(log n) rounds the worst component still needs
+    (measured in BENCH/NOTES.md, scripts/bench_cc.py --freeze A/B).
+    """
+    ends = cur.select(
+        F.col("src").alias("id"), F.lit(1).alias("s"), F.lit(0).alias("d")
+    ).unionByName(
+        cur.select(F.col("dst").alias("id"), F.lit(0).alias("s"), F.lit(1).alias("d"))
+    )
+    stats = ends.groupBy("id").agg(
+        F.sum("s").alias("n_src"), F.sum("d").alias("n_dst")
+    )
+    tagged = cur.join(
+        stats.withColumnRenamed("id", "src"), "src"
+    ).join(
+        stats.select(F.col("id").alias("dst"), F.col("n_src").alias("c_out")),
+        "dst",
+    )
+    frozen_centers = (
+        tagged.groupBy("dst")
+        .agg(
+            F.min(
+                F.when((F.col("n_src") == 1) & (F.col("n_dst") == 0), 1).otherwise(0)
+            ).alias("members_ok"),
+            F.max("c_out").alias("c_out"),  # constant per dst group
+            F.min("src").alias("min_src"),
+        )
+        .filter(
+            (F.col("members_ok") == 1)
+            & (F.col("c_out") == 0)
+            & (F.col("min_src") > F.col("dst"))
+        )
+        .select("dst", F.lit(1).alias("_frozen"))
+    )
+    marked = cur.join(frozen_centers, "dst", "left").localCheckpoint()
+    newly = marked.filter(F.col("_frozen") == 1).drop("_frozen")
+    active = marked.filter(F.col("_frozen").isNull()).drop("_frozen")
+    return active, newly, newly.count()
+
+
 def connected_components_with_stats(
-    edges: DataFrame, max_iter: int = 30
+    edges: DataFrame, max_iter: int = 30, freeze_every: int = 2
 ) -> tuple[DataFrame, int]:
     """``connected_components`` plus the number of star rounds executed.
 
@@ -69,6 +120,13 @@ def connected_components_with_stats(
     path graphs — pinned at 10M-edge scale by
     tests/test_graph.py::test_cc_rounds_bounded_at_scale and measured in
     BENCH/NOTES.md (scripts/bench_cc.py).
+
+    ``freeze_every``: every K rounds, closed-star components (already at
+    their per-component fixpoint, see ``_freeze_converged``) are moved out of
+    the active edge set, so late rounds shuffle only the components still in
+    flight — the round COUNT is set by the worst component either way, but
+    the per-round volume collapses once the low-diameter bulk converges.
+    0 disables (the pre-round-6 behavior).  Output is identical either way.
     """
     e = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
@@ -81,6 +139,7 @@ def connected_components_with_stats(
         .localCheckpoint()
     )
     cur = _symmetrize(e).localCheckpoint()
+    frozen: list[DataFrame] = []
     prev_sig = None
     rounds = 0
     for _ in range(max_iter):
@@ -88,6 +147,11 @@ def connected_components_with_stats(
         # internally (greatest/least), so no symmetrize between them
         cur = _small_star(_large_star(_symmetrize(cur))).localCheckpoint()
         rounds += 1
+        if freeze_every and rounds % freeze_every == 0:
+            cur, newly, n_new = _freeze_converged(cur)
+            if n_new:
+                frozen.append(newly)
+                prev_sig = None  # active set changed shape; resync signature
         # fixpoint signature: star edges are (node -> center); stable when the
         # multiset of edges stops changing
         sig = cur.agg(
@@ -95,11 +159,14 @@ def connected_components_with_stats(
             F.expr("bit_xor(xxhash64(src, dst))").alias("h"),  # overflow-safe set hash
         ).collect()[0]
         sig = (sig["n"], sig["h"])
-        if sig == prev_sig:
+        if sig == prev_sig or sig[0] == 0:
             break
         prev_sig = sig
     # final star edges map member -> center (component min)
-    members = cur.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    all_edges = cur
+    for fr in frozen:
+        all_edges = all_edges.unionByName(fr)
+    members = all_edges.select(F.col("src").alias("id"), F.col("dst").alias("component"))
     result = (
         vertices.join(members, "id", "left")
         .select("id", F.coalesce("component", "id").alias("component"))
@@ -109,15 +176,21 @@ def connected_components_with_stats(
     return result, rounds
 
 
-def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 30, freeze_every: int = 2
+) -> DataFrame:
     """edges(src bigint, dst bigint) -> (id bigint, component bigint).
 
     Alternating large-star / small-star (Kiveris et al., SOCC'14): converges
     in O(log^2 n) rounds to a star graph whose centers are component minima.
     component = min node id reachable.  Undirected; self-loops ignored.
     localCheckpoint each round truncates lineage so the plan stays bounded.
+    Converged (closed-star) components leave the active set every
+    ``freeze_every`` rounds — output-invariant, see ``_freeze_converged``.
     """
-    result, _ = connected_components_with_stats(edges, max_iter=max_iter)
+    result, _ = connected_components_with_stats(
+        edges, max_iter=max_iter, freeze_every=freeze_every
+    )
     return result
 
 

@@ -97,6 +97,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--edges-scale", type=float, default=1.0)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
+    ap.add_argument(
+        "--freeze-every", type=int, default=2,
+        help="freeze closed-star components every K rounds (0 = r5 behavior) "
+        "— run with 0 and 2 for the early-termination A/B",
+    )
     args = ap.parse_args()
 
     from graphene_spark.canonicalize import connected_components_with_stats
@@ -111,7 +116,9 @@ def main() -> None:
     n_edges = edges.count()  # materialize outside the timed region
 
     t0 = time.monotonic()
-    cc, rounds = connected_components_with_stats(edges, max_iter=40)
+    cc, rounds = connected_components_with_stats(
+        edges, max_iter=40, freeze_every=args.freeze_every
+    )
     # size multiset check forces full evaluation — the timed region includes
     # every shuffle of every round AND the final membership join
     sizes = {
@@ -129,6 +136,7 @@ def main() -> None:
     ok = sizes == expected and rounds <= bound
     print(json.dumps({
         "n_edges": n_edges,
+        "freeze_every": args.freeze_every,
         "n_nodes": n_nodes,
         "rounds": rounds,
         "rounds_bound_log2n_plus2": bound,

@@ -154,3 +154,42 @@ def test_cc_rounds_bounded_at_scale(spark):
     assert rounds <= math.ceil(math.log2(n_nodes)) + 2, (
         f"{rounds} rounds at {n_nodes} nodes exceeds the log2(n)+2 envelope"
     )
+
+
+def test_cc_freeze_converged_equivalence(spark):
+    """Early-termination (round-6): freezing closed-star components out of
+    later rounds must be output-invariant.  A closed star is a per-component
+    fixpoint of the alternating star round, so removing it early can change
+    WHEN work happens but never the final membership.  Property-checked on
+    seeded random graphs (where freeze opportunities appear at staggered
+    rounds) plus a worst-case mix of one long path (freezes last) and many
+    small components (freeze in round ~2)."""
+    import random
+
+    rng = random.Random(63)
+    cases = []
+    for _ in range(3):
+        n = 120
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+        cases.append(edges)
+    # staggered-convergence mix: path of 60 + 20 pairs + 10 triangles
+    mix = [(1000 + i, 1000 + i + 1) for i in range(59)]
+    mix += [(2000 + 2 * i, 2000 + 2 * i + 1) for i in range(20)]
+    for t in range(10):
+        b = 3000 + 3 * t
+        mix += [(b, b + 1), (b + 1, b + 2), (b + 2, b)]
+    cases.append(mix)
+
+    for edges in cases:
+        df = spark.createDataFrame(edges, schema="src long, dst long")
+        baseline, r0 = canonicalize.connected_components_with_stats(
+            df, freeze_every=0
+        )
+        base = {r["id"]: r["component"] for r in baseline.collect()}
+        for k in (1, 2, 3):
+            got_df, rk = canonicalize.connected_components_with_stats(
+                df, freeze_every=k
+            )
+            got = {r["id"]: r["component"] for r in got_df.collect()}
+            assert got == base, f"freeze_every={k} changed components"
+            assert rk <= r0 + 1, (rk, r0)  # all-frozen empty-set exit may differ by <=1
