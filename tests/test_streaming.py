@@ -337,3 +337,58 @@ def test_mutated_same_id_redelivery_adds_no_stale_index_rows(spark, tmp_path):
     # id 1 keeps EXACTLY its original band rows; id 2 got indexed
     assert idx_after.filter("doc_id = 1").count() == rows_id1_before
     assert idx_after.filter("doc_id = 2").count() > 0
+
+
+@pytest.mark.slow
+def test_dedup_state_soak_bounded(spark, tmp_path):
+    """Longevity soak (round-6): 30 batches against one state dir with
+    compaction every 10 — the reduced-scale CI pin of scripts/soak_dedup.py
+    (the multi-hundred-batch run is recorded in BENCH/NOTES.md).  Pins the
+    properties that make dedup-at-ingest survive a year of appends:
+
+    * post-compaction file counts are BOUNDED by the layout constant
+      (``materialize.KEY_BUCKETS`` — one file per occupied ``_kb``
+      partition; occupancy saturates at 64 and can never exceed it no
+      matter how many batches ago the state dir was created);
+    * per-batch wall time does not trend with history size (the probe is
+      partition-pruned to the batch's buckets, so the last batch pays what
+      an early batch paid even though the corpus keeps growing);
+    * every injected near-duplicate is rejected — by the in-batch pass when
+      its source text landed in the same batch, by the index probe
+      otherwise — so the accepted corpus is exactly the novel docs.
+    """
+    import importlib.util
+
+    from graphene_spark import materialize
+
+    spec = importlib.util.spec_from_file_location(
+        "soak_dedup",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "soak_dedup.py"),
+    )
+    soak = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(soak)
+
+    res = soak.run_soak(
+        spark, str(tmp_path / "soak"), n_batches=30,
+        docs_per_batch=5, compact_every=10,
+    )
+    # every injected dup rejected, nothing else rejected
+    totals = res["totals"]
+    assert (
+        totals["in_batch_dups"] + totals["index_dups"] == res["expected_index_dups"]
+    ), totals
+    assert totals["accepted"] == totals["arrived"] - res["expected_index_dups"]
+    assert res["accepted_rows"] == totals["accepted"]
+    # bounded state: post-compaction file counts grow only toward bucket
+    # saturation (one file per OCCUPIED _kb partition), never past the
+    # layout constant — and the un-compacted tail since the last compaction
+    # is bounded by batches x touched-buckets, independent of history
+    trail = res["post_compact_files"]
+    assert len(trail) == 3
+    for t in trail:
+        assert t["band_index_files"] <= materialize.KEY_BUCKETS, trail
+        assert t["accepted_files"] <= materialize.KEY_BUCKETS, trail
+    # flat probe latency: steady-state late-quartile mean within noise of
+    # the early-quartile mean (a linear-in-history probe would trend far
+    # past this bound over the soak's growth in corpus size)
+    assert res["latency_ratio_late_over_early"] < 2.0, res
