@@ -55,6 +55,23 @@ def _gaz_for(aliases: tuple[str, ...]):
     return gaz
 
 
+def _scan_method(scanner, full_name: str, mentions_name: str):
+    """(bound scan method | None, is_full) for this batch run.
+
+    Default is the FULL scan (mentions + relation-grammar clauses in C);
+    ``GRAPHENE_SPARK_NO_NATIVE_GRAMMAR=1`` drops back to the mentions-only
+    scan with the regex grammar — the round-6a behavior — without touching
+    the gazetteer fast path (and ``GRAPHENE_SPARK_NO_NATIVE_SCAN=1`` still
+    kills both, scanner_for returns None)."""
+    if scanner is None:
+        return None, False
+    import os
+
+    if os.environ.get("GRAPHENE_SPARK_NO_NATIVE_GRAMMAR"):
+        return getattr(scanner, mentions_name), False
+    return getattr(scanner, full_name), True
+
+
 TRIPLE_STRUCT = StructType(
     [
         StructField("subj", StringType()),  # null = dangling (no subject mention)
@@ -108,7 +125,8 @@ def _validate_kinds(kinds):
         )
 
 
-def _extract_batch(conv_in, turn_in, text_in, gaz, kinds=None, mentions_pre=None):
+def _extract_batch(conv_in, turn_in, text_in, gaz, kinds=None, mentions_pre=None,
+                   clauses_pre=None):
     """Shared per-row emit loop of extract_rows / extract_rows_arrow —
     returns the ten flat output lists.  ONE definition so the pandas and
     Arrow paths cannot silently diverge (their row-for-row parity is
@@ -117,9 +135,15 @@ def _extract_batch(conv_in, turn_in, text_in, gaz, kinds=None, mentions_pre=None
     ``mentions_pre`` (optional, row-aligned) carries mention lists already
     computed by the C gazetteer scanner (native_scan.py) for the whole
     batch; a ``None`` entry means "scan this row with the regex" (non-ASCII
-    rows, or the native path unavailable).  Both branches feed the same
-    ``rules.extract_turn_from_mentions`` body, so the triple grammar is
-    one code path regardless of which engine found the mentions.
+    rows, or the native path unavailable).  ``clauses_pre`` (optional,
+    requires ``mentions_pre``) is ``scan_full_arrow``'s columnar clause
+    half ``(counts, cols)``; the loop locates row r's clause slice by
+    carrying the running prefix sum of ``counts`` as a cursor.  Rows with
+    clauses route to ``rules.extract_turn_from_clauses`` (Python
+    transforms, C match finding), scanned rows without any short-circuit
+    to zero triples with no call and no allocation, and fallback rows
+    (``mentions_pre`` entry ``None``, always count 0) take the full regex
+    path.
 
     ``kinds`` (None = all of turn/mention/triple) is the kind filter PUSHED
     INSIDE the Python stage: Catalyst cannot push a post-UDF filter through
@@ -150,15 +174,28 @@ def _extract_batch(conv_in, turn_in, text_in, gaz, kinds=None, mentions_pre=None
     ar_subj, ar_pred, ar_obj = r_subj.append, r_pred.append, r_obj.append
     extract_turn = rules.extract_turn
     finish_turn = rules.extract_turn_from_mentions
-    if mentions_pre is None:
-        from itertools import repeat
+    finish_clauses = rules.extract_turn_from_clauses
+    from itertools import repeat
 
+    if mentions_pre is None:
         mentions_pre = repeat(None)
+        clauses_pre = None
+    if clauses_pre is None:
+        counts, cols = repeat(0), None
+    else:
+        counts, cols = clauses_pre
 
     def emit_turn(conv, turn, nm, nt, err):
         at_conv(conv); at_turn(turn); at_nm(nm); at_nt(nt); at_err(err)
 
-    for conv, turn, text, pre in zip(conv_in, turn_in, text_in, mentions_pre):
+    clo = 0  # running cursor into the columnar clause store
+    for conv, turn, text, pre, cnt in zip(
+        conv_in, turn_in, text_in, mentions_pre, counts
+    ):
+        # advance the clause cursor BEFORE any continue/except path so a
+        # bad row cannot shift every later row's clause slice
+        lo = clo
+        clo += cnt
         try:
             # inside the try: a NULL turn_idx arrives as NaN (pandas) or
             # None (Arrow to_pylist) and int() raises — a bad row must
@@ -169,7 +206,13 @@ def _extract_batch(conv_in, turn_in, text_in, gaz, kinds=None, mentions_pre=None
                     emit_turn(conv, turn, 0, 0, 1)
                 continue
             if pre is not None:
-                mentions, triples = finish_turn(text, pre)
+                if cols is None:
+                    mentions, triples = finish_turn(text, pre)
+                elif cnt:
+                    mentions, triples = finish_clauses(text, pre, lo, clo, cols)
+                else:
+                    # scanned row, zero grammar clauses: no call, no alloc
+                    mentions, triples = pre, ()
             else:
                 mentions, triples = extract_turn(text, gaz)
             if want_turn:
@@ -209,13 +252,16 @@ def extract_rows(
 
         gaz = _gaz_for(alias_tuple)
         scanner = native_scan.scanner_for(alias_tuple)
+        scan, full = _scan_method(scanner, "scan_texts_full", "scan_texts")
         for pdf in batches:
-            pre = None
-            if scanner is not None:
-                pre = scanner.scan_texts(list(pdf["text"]))
+            pre = cl = None
+            if scan is not None:
+                pre = scan(list(pdf["text"]))
+                if full:
+                    pre, cl = pre
             blocks = _extract_batch(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"], gaz, kinds,
-                mentions_pre=pre,
+                mentions_pre=pre, clauses_pre=cl,
             )
             # one DataFrame per non-empty kind block (mapInPandas accepts
             # any number of frames per input batch) — constant columns are
@@ -319,19 +365,24 @@ def extract_rows_arrow(
         )
         gaz = _gaz_for(alias_tuple)
         scanner = native_scan.scanner_for(alias_tuple)
+        scan, full = _scan_method(scanner, "scan_full_arrow", "scan_arrow")
         for rb in batches:
             names = rb.schema.names
             conv_in = rb.column(names.index("conv_id")).to_pylist()
             turn_in = rb.column(names.index("turn_idx")).to_pylist()
             text_arr = rb.column(names.index("text"))
             text_in = text_arr.to_pylist()
-            pre = None
-            if scanner is not None:
-                # scans the RecordBatch's raw UTF-8 buffer in one C call —
-                # no per-row call overhead, no Match objects
-                pre = scanner.scan_arrow(text_arr, text_in)
+            pre = cl = None
+            if scan is not None:
+                # scans the RecordBatch's raw UTF-8 buffer in one C call
+                # (two with the grammar pass) — no per-row call overhead,
+                # no Match objects
+                pre = scan(text_arr, text_in)
+                if full:
+                    pre, cl = pre
             blocks = _extract_batch(
-                conv_in, turn_in, text_in, gaz, kinds, mentions_pre=pre)
+                conv_in, turn_in, text_in, gaz, kinds,
+                mentions_pre=pre, clauses_pre=cl)
             # one RecordBatch per non-empty kind block (mapInArrow accepts
             # any number of batches per input batch); constant columns via
             # pa.nulls / pa.repeat — O(1)-ish builds, no per-row appends

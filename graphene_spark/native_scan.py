@@ -112,6 +112,22 @@ def _compile_lib() -> ctypes.CDLL | None:
         ctypes.c_int64,   # cap
         ctypes.c_void_p,  # row_fallback (uint8*)
     ]
+    lib.gs_scan_grammar.restype = ctypes.c_longlong
+    lib.gs_scan_grammar.argtypes = [
+        ctypes.c_void_p,  # data
+        ctypes.c_void_p,  # offsets (int64*)
+        ctypes.c_int64,   # nrows
+        ctypes.c_void_p,  # row_fallback (uint8*, INPUT)
+        ctypes.c_void_p,  # row_counts (int64*, per-row match counts OUT)
+        ctypes.c_void_p,  # c_type (uint8*)
+        ctypes.c_void_p,  # g1s (int64*)
+        ctypes.c_void_p,  # g1e
+        ctypes.c_void_p,  # g2s
+        ctypes.c_void_p,  # g2e
+        ctypes.c_void_p,  # g3s
+        ctypes.c_void_p,  # g3e
+        ctypes.c_int64,   # cap
+    ]
     return lib
 
 
@@ -147,6 +163,8 @@ _MAX_DEPTH = 511  # GS_MAX_DEPTH - 1 in acscan.c
 # their mentions argument).  Sharing it avoids one list allocation per
 # mention-less row, the largest Python cost in the scan path.
 _EMPTY: list = []
+# Shared empty clause-column 7-tuple for batches with zero grammar matches.
+_NO_COLS: tuple = ((), (), (), (), (), (), ())
 
 
 class AsciiGazetteerScanner:
@@ -218,29 +236,61 @@ class AsciiGazetteerScanner:
         (non-ASCII bytes).  ``texts`` is the caller's ``to_pylist()`` (it
         needs the Python strings for the triple patterns anyway); surfaces
         are sliced from it — byte offsets == char offsets on ASCII rows."""
+        return self._scan(arr, texts, with_grammar=False)
+
+    def scan_full_arrow(self, arr, texts: list | None = None) -> tuple:
+        """Mentions AND relation-grammar clauses: ``(mentions, (counts,
+        cols))``.
+
+        ``mentions[r]`` is exactly ``scan_arrow``'s contract (list | None
+        for fallback rows).  The clause half is COLUMNAR and allocation-
+        free per row: ``cols`` is the 7-tuple of flat per-clause lists
+        ``(type, g1s, g1e, g2s, g2e, g3s, g3e)`` over the whole batch, and
+        ``counts[r]`` is how many consecutive entries belong to row r
+        (0 for fallback rows) — row r's slice is located by running prefix
+        sum, which the consumer loop carries as a cursor.  Clause order
+        inside a row is exactly the order
+        ``rules.extract_turn_from_mentions`` appends triples (ontology,
+        xref, rank, synonym — each in text order).  Feed row slices to
+        ``rules.extract_turn_from_clauses``."""
+        return self._scan(arr, texts, with_grammar=True)
+
+    def _scan(self, arr, texts: list | None, with_grammar: bool) -> list:
         import numpy as np
         import pyarrow as pa
 
         n = len(arr)
         if n == 0:
-            return []
+            return ([], []) if with_grammar else []
         if texts is None:
             texts = arr.to_pylist()
+
+        def all_fallback():
+            none_row = [None] * n
+            if with_grammar:
+                return none_row, ([0] * n, _NO_COLS)
+            return none_row
+
         if pa.types.is_large_string(arr.type):
             odt = np.int64
         elif pa.types.is_string(arr.type):
             odt = np.int32
         else:  # unexpected physical type — let the regex handle everything
-            return [None] * n
+            return all_fallback()
         bufs = arr.buffers()
         off_buf, data_buf = bufs[1], bufs[2]
         if off_buf is None:
-            return [None] * n
+            return all_fallback()
         offs = np.frombuffer(off_buf, dtype=odt, count=arr.offset + n + 1)[
             arr.offset:
         ].astype(np.int64)
         if data_buf is None:  # all rows null/empty
-            return [_EMPTY if t is not None else None for t in texts]
+            men = [_EMPTY if t is not None else None for t in texts]
+            if with_grammar:
+                return men, ([0] * n, _NO_COLS)
+            return men
+        data_p = ctypes.c_void_p(data_buf.address)
+        offs_p = offs.ctypes.data_as(ctypes.c_void_p)
         total = int(offs[-1] - offs[0])
         fallback = np.zeros(n, dtype=np.uint8)
         cap = max(64, total // 8)
@@ -249,8 +299,8 @@ class AsciiGazetteerScanner:
             m_start = np.empty(cap, dtype=np.int64)
             m_end = np.empty(cap, dtype=np.int64)
             nm = self._lib.gs_scan_batch(
-                ctypes.c_void_p(data_buf.address),
-                offs.ctypes.data_as(ctypes.c_void_p),
+                data_p,
+                offs_p,
                 ctypes.c_int64(n),
                 self._children.ctypes.data_as(ctypes.c_void_p),
                 self._endflag.ctypes.data_as(ctypes.c_void_p),
@@ -268,15 +318,15 @@ class AsciiGazetteerScanner:
                 cap = total + 1
                 continue
             if nm < 0:  # -2: depth bound — cannot happen (checked at build)
-                return [None] * n
+                return all_fallback()
             break
         # tolist() first: per-element numpy scalar indexing is ~5x slower
         # than iterating plain ints.  Rows without matches share _EMPTY
         # (never mutated — consumers only read) instead of each allocating a
         # fresh []: the per-row allocations were 104ms of a 280ms scan at
         # 200k rows, the C walk itself 34ms (profile in BENCH/NOTES.md).
-        out: list = [_EMPTY if f == 0 else None for f in fallback.tolist()]
         nm = int(nm)
+        out: list = [_EMPTY if f == 0 else None for f in fallback.tolist()]
         prev = -1
         for r, s, e in zip(
             m_row[:nm].tolist(), m_start[:nm].tolist(), m_end[:nm].tolist()
@@ -290,7 +340,41 @@ class AsciiGazetteerScanner:
                 t = texts[r]
                 prev = r
             ap(t[s:e])
-        return out
+        if not with_grammar:
+            return out
+
+        # full mode: run the grammar pass over the SAME fallback row set
+        # (worst-case clause density is ~0.39 matches/byte — see acscan.c
+        # minimum match extents — so total//2 is an absolute retry bound)
+        gcap = max(64, total // 16)
+        counts = np.empty(n, dtype=np.int64)
+        while True:
+            c_typ = np.empty(gcap, dtype=np.uint8)
+            g = [np.empty(gcap, dtype=np.int64) for _ in range(6)]
+            ng = self._lib.gs_scan_grammar(
+                data_p,
+                offs_p,
+                ctypes.c_int64(n),
+                fallback.ctypes.data_as(ctypes.c_void_p),
+                counts.ctypes.data_as(ctypes.c_void_p),
+                c_typ.ctypes.data_as(ctypes.c_void_p),
+                *[a.ctypes.data_as(ctypes.c_void_p) for a in g],
+                ctypes.c_int64(gcap),
+            )
+            if ng == -1:
+                gcap = total // 2 + 64
+                continue
+            break
+        ng = int(ng)
+        if ng:
+            cols = (
+                c_typ[:ng].tolist(),
+                g[0][:ng].tolist(), g[1][:ng].tolist(), g[2][:ng].tolist(),
+                g[3][:ng].tolist(), g[4][:ng].tolist(), g[5][:ng].tolist(),
+            )
+        else:
+            cols = _NO_COLS
+        return out, (counts.tolist(), cols)
 
     def scan_texts(self, texts: list) -> list:
         """List-of-str convenience wrapper (pandas path / tests)."""
@@ -301,6 +385,17 @@ class AsciiGazetteerScanner:
         except Exception:  # noqa: BLE001 — odd inputs -> regex for all rows
             return [None] * len(texts)
         return self.scan_arrow(arr, texts)
+
+    def scan_texts_full(self, texts: list) -> list:
+        """List-of-str convenience wrapper for the full (mentions+clauses)
+        scan (pandas path / tests)."""
+        import pyarrow as pa
+
+        try:
+            arr = pa.array(texts, pa.string())
+        except Exception:  # noqa: BLE001 — odd inputs -> regex for all rows
+            return [None] * len(texts)
+        return self.scan_full_arrow(arr, texts)
 
 
 _SCANNER_CACHE: dict[tuple[str, ...], AsciiGazetteerScanner | None] = {}

@@ -262,3 +262,46 @@ def extract_turn_from_mentions(text: str, mentions: list[str]) -> tuple[list[str
             triples.append(Triple(subj, PRED_SYNONYM, normalize_alias(m.group(1))))
 
     return mentions, triples
+
+
+def extract_turn_from_clauses(
+    text: str, mentions: list[str], lo: int, hi: int, cols: tuple
+) -> tuple[list[str], list[Triple]]:
+    """``extract_turn_from_mentions`` with BOTH scans precomputed by the C
+    scanner (native_scan.AsciiGazetteerScanner.scan_full_arrow): ``cols``
+    is the batch-wide columnar clause store ``(type, g1s, g1e, g2s, g2e,
+    g3s, g3e)`` and ``[lo, hi)`` is this row's index range in it (the
+    caller carries the running prefix sum of the per-row counts), in the
+    exact order the finditer loops above append (group spans are char
+    offsets into ``text``).
+
+    Only MATCH-FINDING moved to C; every transform stays here and mirrors
+    the loops above line for line — pred .upper(), the TYPE:id join (the C
+    scan pre-strips the ``0*`` zeros, so the slice equals ``int(g3)``'s
+    decimal form, one '0' kept for all-zero ids), the XREF drop/split key
+    sets, rank .capitalize(), synonym normalize_alias.  Byte-equal output
+    is pinned by tests/test_native_scan.py (hand + fuzz) and the three-way
+    extractor fuzz in tests/test_extract.py."""
+    subj = normalize_alias(mentions[0]) if mentions else None
+    triples: list[Triple] = []
+    ap = triples.append
+    typ, g1s, g1e, g2s, g2e, g3s, g3e = cols
+    for i in range(lo, hi):
+        t = typ[i]
+        if t == 0:
+            ap(Triple(subj, text[g1s[i]:g1e[i]].upper(),
+                      f"{text[g2s[i]:g2e[i]]}:{text[g3s[i]:g3e[i]]}"))
+        elif t == 1:
+            key = text[g1s[i]:g1e[i]]
+            if key in XREF_DROP_KEYS:
+                continue
+            val = text[g2s[i]:g2e[i]]
+            if key in XREF_SPLIT_VALUE_KEYS:
+                val = val.split(" ", 1)[0]
+            ap(Triple(subj, PRED_XREF, f"{key}:{val}"))
+        elif t == 2:
+            ap(Triple(subj, PRED_RANK, text[g1s[i]:g1e[i]].capitalize()))
+        else:
+            ap(Triple(subj, PRED_SYNONYM,
+                      normalize_alias(text[g1s[i]:g1e[i]])))
+    return mentions, triples

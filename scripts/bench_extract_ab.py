@@ -36,18 +36,22 @@ def make_batch(n_turns: int):
     return conv_in, turn_in, text_in, aliases
 
 
-def run_side(conv_in, turn_in, text_in, text_arr, aliases, use_native: bool) -> float:
+def run_side(conv_in, turn_in, text_in, text_arr, aliases, mode: str) -> float:
     """One timed pass of what mapInArrow executes per batch: the scan (from
     the RecordBatch's existing Arrow buffer — production never builds one)
-    plus the shared emit loop."""
+    plus the shared emit loop.  mode: 'regex' | 'native' (mentions-only C
+    scan, regex grammar) | 'full' (mentions + relation grammar in C)."""
     gaz = extract._gaz_for(aliases)
-    scanner = native_scan.scanner_for(aliases) if use_native else None
+    scanner = native_scan.scanner_for(aliases) if mode != "regex" else None
     t0 = time.perf_counter()
+    pre = cl = None
     if scanner is not None:
-        pre = scanner.scan_arrow(text_arr, text_in)
-    else:
-        pre = None
-    extract._extract_batch(conv_in, turn_in, text_in, gaz, None, mentions_pre=pre)
+        if mode == "full":
+            pre, cl = scanner.scan_full_arrow(text_arr, text_in)  # cl=(spans, cols)
+        else:
+            pre = scanner.scan_arrow(text_arr, text_in)
+    extract._extract_batch(conv_in, turn_in, text_in, gaz, None,
+                           mentions_pre=pre, clauses_pre=cl)
     return time.perf_counter() - t0
 
 
@@ -65,23 +69,30 @@ def main() -> None:
     if native_scan.scanner_for(aliases) is None:
         print(json.dumps({"error": "native scanner unavailable"}))
         return
-    # warmup both sides (compile automaton, fill normalize cache, JIT nothing)
-    run_side(conv_in, turn_in, text_in, text_arr, aliases, True)
-    run_side(conv_in, turn_in, text_in, text_arr, aliases, False)
-    nat, reg = [], []
+    # warmup all sides (compile automaton, fill normalize cache, JIT nothing)
+    for mode in ("full", "native", "regex"):
+        run_side(conv_in, turn_in, text_in, text_arr, aliases, mode)
+    times: dict[str, list[float]] = {"full": [], "native": [], "regex": []}
     for _ in range(args.reps):
-        nat.append(run_side(conv_in, turn_in, text_in, text_arr, aliases, True))
-        reg.append(run_side(conv_in, turn_in, text_in, text_arr, aliases, False))
-    best_nat, best_reg = min(nat), min(reg)
+        for mode in ("full", "native", "regex"):
+            times[mode].append(
+                run_side(conv_in, turn_in, text_in, text_arr, aliases, mode)
+            )
+    best = {m: min(v) for m, v in times.items()}
     print(json.dumps({
         "turns": n,
-        "regex_best_sec": round(best_reg, 3),
-        "native_best_sec": round(best_nat, 3),
-        "regex_tps": round(n / best_reg),
-        "native_tps": round(n / best_nat),
-        "speedup": round(best_reg / best_nat, 3),
-        "regex_all": [round(x, 3) for x in reg],
-        "native_all": [round(x, 3) for x in nat],
+        "regex_best_sec": round(best["regex"], 3),
+        "native_best_sec": round(best["native"], 3),
+        "full_best_sec": round(best["full"], 3),
+        "regex_tps": round(n / best["regex"]),
+        "native_tps": round(n / best["native"]),
+        "full_tps": round(n / best["full"]),
+        "speedup_native_vs_regex": round(best["regex"] / best["native"], 3),
+        "speedup_full_vs_native": round(best["native"] / best["full"], 3),
+        "speedup_full_vs_regex": round(best["regex"] / best["full"], 3),
+        "regex_all": [round(x, 3) for x in times["regex"]],
+        "native_all": [round(x, 3) for x in times["native"]],
+        "full_all": [round(x, 3) for x in times["full"]],
     }))
 
 

@@ -131,3 +131,143 @@ def test_extract_batch_uses_pre_mentions(scanner):
     with_pre = extract._extract_batch(conv, turn, text, gaz, None, mentions_pre=pre)
     without = extract._extract_batch(conv, turn, text, gaz, None)
     assert with_pre == without
+
+
+# ---- relation-grammar scanner (gs_scan_grammar / scan_full_arrow) ----------
+
+GRAMMAR_CASES = [
+    # ontology relationship: pred upper, TYPE:int (zero strip, one 0 kept)
+    "abc part_of GO:0001234 ! some label. more",
+    "is_a SO:0000110 ! x; part_of GO:000 ! y",     # all-zero id -> GO:0
+    "zpart_of GO:1 ! y",                           # [a-z_]+ absorbs the z
+    "_part_of GO:1 ! y",                           # leading _ is a valid pred char
+    "Part_of GO:1 ! y",                            # uppercase start -> no pred
+    "part_of go:1 ! x",                            # lowercase TYPE -> no match
+    "part_of GO:x ! y",                            # no digits -> no match
+    "part_of ABCDEFGHIJK:5 ! v",                   # TYPE longer than 10 -> no match
+    "part_of AB0123456:00042 ! v",                 # digits inside TYPE + zero strip
+    "a ! b",                                       # bare ' ! ' with no clause
+    "p_ A1:0 ! v",
+    # xref: drop keys, split-value keys, comma stop, WS-paren stop, keyword stop
+    "xref Reactome:R-HSA-123 desc here. xref GC_ID:11. xref PDB:1abc,tail",
+    "xref http:foo bar (paren) xref VZ:a b",
+    "xref loinc:x y z",
+    "xref A:v has_rank NCBITaxon:g",               # value stops before keyword
+    "xref A:v hhas_rank x",                        # not a keyword -> no stop
+    "xref A:v xrefz z",                            # 'xref' w/o trailing WS -> no stop
+    "xref A:v synonym: s",
+    "xref A:val\ttail",                            # tab inside value allowed
+    "xref A:v\t(x",                                # any WS before '(' stops
+    "xref A:",                                     # empty value -> no match
+    "xxref A:b",                                   # boundary fail
+    "xref A:x xref B:y",
+    "xref 9A:b",                                   # key must start with a letter
+    # rank: capitalize (rest lowered), boundary, empty group
+    "NAD has_rank NCBITaxon:species more",
+    "has_rank NCBITaxon:GENUS",
+    "ahas_rank NCBITaxon:genus",
+    "has_rank NCBITaxon:",
+    # synonym: normalize_alias, pipe stop (unlike xref), boundary
+    "synonym: fancy_name-Variant. synonym: b|c",
+    "asynonym: val",
+    "synonym: ",
+    # multi-clause ordering in one turn
+    "abc part_of GO:7 ! v xref K:w has_rank NCBITaxon:genus synonym: s",
+]
+
+
+def _expect_turn(gaz, t):
+    return rules.extract_turn_from_mentions(
+        t, [m.group(1) for m in gaz.finditer(t)]
+    )
+
+
+def test_grammar_hand_cases(scanner, gaz):
+    men, (counts, cols) = scanner.scan_texts_full(GRAMMAR_CASES)
+    lo = 0
+    for t, m, c in zip(GRAMMAR_CASES, men, counts):
+        got = rules.extract_turn_from_clauses(t, m, lo, lo + c, cols)
+        assert got == _expect_turn(gaz, t), repr(t)
+        lo += c
+
+
+def test_grammar_fuzz_parity(scanner, gaz):
+    rng = random.Random(20260818)
+    frags = [
+        "part_of ", "GO:", "SO:", "0001234", "000", " ! ", "xref ",
+        "Reactome:", "GC_ID:", "http:", "VZ:", "loinc:", "PDB:",
+        "has_rank NCBITaxon:", "synonym: ", "abc", "ab", "NAD", ".", ";",
+        ",", "|", "(", ")", " ", "\t", "\n", "_", "-", "A1", "label text",
+        "x1", ":", "!", "0", "9", "Z:", "e_f ", "K9:", "i ",
+    ]
+    alpha = string.ascii_letters + string.digits + " _-.,;:!|()\t\n"
+    texts = []
+    for k in range(8000):
+        if k % 2:
+            texts.append("".join(rng.choice(frags) for _ in range(rng.randint(1, 14))))
+        else:
+            texts.append("".join(rng.choice(alpha) for _ in range(rng.randint(0, 90))))
+    men, (counts, cols) = scanner.scan_texts_full(texts)
+    lo = 0
+    for t, m, c in zip(texts, men, counts):
+        got = rules.extract_turn_from_clauses(t, m, lo, lo + c, cols)
+        assert got == _expect_turn(gaz, t), repr(t)
+        lo += c
+
+
+def test_grammar_fallback_rows_count_zero(scanner):
+    men, (counts, cols) = scanner.scan_texts_full(
+        ["café part_of GO:1 ! x", "part_of GO:1 ! x"]
+    )
+    assert men[0] is None and counts[0] == 0
+    assert counts[1] == 1 and cols[0][0] == 0  # type 0 = ontology
+
+
+def test_grammar_cursor_survives_bad_rows(scanner):
+    """A null text / null turn_idx row must not shift later rows' clause
+    slices (the cursor advances before every continue/except path)."""
+    from graphene_spark import extract
+
+    gaz = extract._gaz_for(tuple(sorted(set(ALIASES))))
+    conv = ["c"] * 6
+    turn = [0, None, 2, 3, 4, 5]
+    text = [
+        "xref A:one",
+        "xref B:bad_turn_idx_row",
+        None,
+        "",
+        "café xref C:fallback",
+        "abc part_of GO:0042 ! v synonym: s",
+    ]
+    men, cl = scanner.scan_texts_full(text)
+    with_pre = extract._extract_batch(
+        conv, turn, text, gaz, None, mentions_pre=men, clauses_pre=cl
+    )
+    without = extract._extract_batch(conv, turn, text, gaz, None)
+    assert with_pre == without
+
+
+def test_grammar_sliced_array(scanner, gaz):
+    pa = pytest.importorskip("pyarrow")
+    texts = ["xref A:x", "no clause", "part_of GO:01 ! v", "synonym: q", "ab"]
+    arr = pa.array(texts + texts, pa.string()).slice(3, 5)
+    sl = texts[3:] + texts[:3]
+    men, (counts, cols) = scanner.scan_full_arrow(arr, arr.to_pylist())
+    lo = 0
+    for t, m, c in zip(sl, men, counts):
+        got = rules.extract_turn_from_clauses(t, m, lo, lo + c, cols)
+        assert got == _expect_turn(gaz, t), repr(t)
+        lo += c
+
+
+def test_grammar_kill_switch(monkeypatch, scanner):
+    """GRAPHENE_SPARK_NO_NATIVE_GRAMMAR falls back to the mentions-only
+    scan + regex grammar without disabling the gazetteer fast path."""
+    from graphene_spark import extract
+
+    monkeypatch.setenv("GRAPHENE_SPARK_NO_NATIVE_GRAMMAR", "1")
+    scan, full = extract._scan_method(scanner, "scan_texts_full", "scan_texts")
+    assert not full and scan.__name__ == "scan_texts"
+    monkeypatch.delenv("GRAPHENE_SPARK_NO_NATIVE_GRAMMAR")
+    scan, full = extract._scan_method(scanner, "scan_texts_full", "scan_texts")
+    assert full and scan.__name__ == "scan_texts_full"
