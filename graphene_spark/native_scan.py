@@ -386,7 +386,7 @@ class AsciiGazetteerScanner:
             return [None] * len(texts)
         return self.scan_arrow(arr, texts)
 
-    def scan_texts_full(self, texts: list) -> list:
+    def scan_texts_full(self, texts: list) -> tuple:
         """List-of-str convenience wrapper for the full (mentions+clauses)
         scan (pandas path / tests)."""
         import pyarrow as pa
@@ -394,7 +394,8 @@ class AsciiGazetteerScanner:
         try:
             arr = pa.array(texts, pa.string())
         except Exception:  # noqa: BLE001 — odd inputs -> regex for all rows
-            return [None] * len(texts)
+            n = len(texts)
+            return [None] * n, ([0] * n, _NO_COLS)
         return self.scan_full_arrow(arr, texts)
 
 

@@ -260,6 +260,14 @@ def test_grammar_sliced_array(scanner, gaz):
         lo += c
 
 
+def test_grammar_odd_input_fallback_shape(scanner):
+    """Non-string values (e.g. pandas NaN) must fall back to the regex for
+    ALL rows while keeping the (mentions, (counts, cols)) return shape —
+    a flat list here would crash the callers' tuple unpack."""
+    men, (counts, cols) = scanner.scan_texts_full(["abc", float("nan")])
+    assert men == [None, None] and counts == [0, 0]
+
+
 def test_grammar_kill_switch(monkeypatch, scanner):
     """GRAPHENE_SPARK_NO_NATIVE_GRAMMAR falls back to the mentions-only
     scan + regex grammar without disabling the gazetteer fast path."""
