@@ -334,6 +334,50 @@ def metrics_from_rows(rows: DataFrame) -> DataFrame:
     )
 
 
+def _triples_only_batch(conv_in, turn_in, text_in, fbs, counts, surfs, cols, gaz):
+    """The ``kinds=('triple',)`` emit loop over PRE-SELECTED rows (see
+    native_scan.scan_triples_arrow): every input row here is either a
+    regex-fallback row or has >=1 grammar clause, so the loop length is the
+    triple-candidate count, not the batch size.  Semantics are exactly
+    ``_extract_batch``'s triple branch: the null/NUL gate, the bad-row
+    try/except (a bad row simply emits nothing — the turn-metric row it
+    would have carried belongs to the 'turn' kind, which this path never
+    serves), and the shared grammar/transform code paths.  Parity with the
+    generic path is pinned by test_native_scan.py and the extractor parity
+    tests."""
+    r_conv, r_turn, r_subj, r_pred, r_obj = [], [], [], [], []
+    ar_conv, ar_turn = r_conv.append, r_turn.append
+    ar_subj, ar_pred, ar_obj = r_subj.append, r_pred.append, r_obj.append
+    extract_turn = rules.extract_turn
+    finish_clauses = rules.extract_turn_from_clauses
+    clo = 0
+    for conv, turn, text, fb, cnt, surf in zip(
+        conv_in, turn_in, text_in, fbs, counts, surfs
+    ):
+        lo = clo
+        clo += cnt
+        try:
+            turn = int(turn)
+            if text is None or text == "" or "\x00" in text:
+                continue
+            if fb:
+                _, triples = extract_turn(text, gaz)
+            else:
+                _, triples = finish_clauses(
+                    text, [surf] if surf is not None else [], lo, clo, cols
+                )
+            for t in triples:
+                ar_conv(conv); ar_turn(turn)
+                ar_subj(t.subj); ar_pred(t.pred); ar_obj(t.obj)
+        except Exception:  # noqa: BLE001 — bad rows emit nothing here
+            pass
+    return (
+        ((), (), (), (), ()),
+        ((), (), ()),
+        (r_conv, r_turn, r_subj, r_pred, r_obj),
+    )
+
+
 def extract_rows_arrow(
     transcripts: DataFrame, aliases: list[str], kinds: tuple[str, ...] | None = None
 ) -> DataFrame:
@@ -366,11 +410,32 @@ def extract_rows_arrow(
         gaz = _gaz_for(alias_tuple)
         scanner = native_scan.scanner_for(alias_tuple)
         scan, full = _scan_method(scanner, "scan_full_arrow", "scan_arrow")
+        triples_fast = full and kinds is not None and set(kinds) == {"triple"}
         for rb in batches:
             names = rb.schema.names
+            text_arr = rb.column(names.index("text"))
+            if triples_fast:
+                # kinds=('triple',) — the KG pipeline hot path: only rows
+                # that can emit a triple (regex-fallback or clause-bearing,
+                # typically a minority) are materialized as Python strings;
+                # to_pylist of the full text/conv columns is ~35% of the
+                # Python-side stage cost (BENCH/NOTES.md round-6)
+                svc = scanner.scan_triples_arrow(text_arr)
+                if svc is not None:
+                    needed, texts, fbs, counts, surfs, cols = svc
+                    if not needed:
+                        continue
+                    idx = pa.array(needed)
+                    conv_in = rb.column(names.index("conv_id")).take(idx).to_pylist()
+                    turn_in = rb.column(names.index("turn_idx")).take(idx).to_pylist()
+                    blocks = _triples_only_batch(
+                        conv_in, turn_in, texts, fbs, counts, surfs, cols, gaz
+                    )
+                    yield from _blocks_to_arrow(pa, schema, blocks)
+                    continue
+                # unexpected physical type etc. — generic path below
             conv_in = rb.column(names.index("conv_id")).to_pylist()
             turn_in = rb.column(names.index("turn_idx")).to_pylist()
-            text_arr = rb.column(names.index("text"))
             text_in = text_arr.to_pylist()
             pre = cl = None
             if scan is not None:

@@ -376,6 +376,119 @@ class AsciiGazetteerScanner:
             cols = _NO_COLS
         return out, (counts.tolist(), cols)
 
+    def scan_triples_arrow(self, arr):
+        """Triples-only scan service (the ``kinds=('triple',)`` hot path —
+        the KG pipeline default): returns row-aligned-to-NEEDED lists
+        ``(needed, texts, fallback, counts, first_surf, cols)`` or ``None``
+        when the batch must take the generic path.
+
+        Only rows that can possibly emit a triple are materialized: regex-
+        fallback rows (non-ASCII) and rows with at least one grammar
+        clause.  Everything else — typically the majority — never becomes
+        a Python string at all (``to_pylist`` of the text/conv columns is
+        ~35% of the Python-side stage cost, BENCH/NOTES.md round-6).
+        ``needed`` holds the original row indices (for taking the other
+        columns), ``fallback[i]`` flags regex rows, ``counts[i]`` is the
+        clause count, ``first_surf[i]`` the first gazetteer mention's
+        surface (subject resolution needs ONLY the first mention; None
+        when the row has no mention), ``cols`` the columnar clause store
+        shared with ``scan_full_arrow``."""
+        import numpy as np
+        import pyarrow as pa
+
+        n = len(arr)
+        if n == 0:
+            return [], [], [], [], [], _NO_COLS
+        if pa.types.is_large_string(arr.type):
+            odt = np.int64
+        elif pa.types.is_string(arr.type):
+            odt = np.int32
+        else:
+            return None
+        bufs = arr.buffers()
+        off_buf, data_buf = bufs[1], bufs[2]
+        if off_buf is None:
+            return None
+        offs = np.frombuffer(off_buf, dtype=odt, count=arr.offset + n + 1)[
+            arr.offset:
+        ].astype(np.int64)
+        if data_buf is None:  # all rows null/empty -> nothing can emit
+            return [], [], [], [], [], _NO_COLS
+        data_p = ctypes.c_void_p(data_buf.address)
+        offs_p = offs.ctypes.data_as(ctypes.c_void_p)
+        total = int(offs[-1] - offs[0])
+        fallback = np.zeros(n, dtype=np.uint8)
+        cap = max(64, total // 8)
+        while True:
+            m_row = np.empty(cap, dtype=np.int64)
+            m_start = np.empty(cap, dtype=np.int64)
+            m_end = np.empty(cap, dtype=np.int64)
+            nm = self._lib.gs_scan_batch(
+                data_p, offs_p, ctypes.c_int64(n),
+                self._children.ctypes.data_as(ctypes.c_void_p),
+                self._endflag.ctypes.data_as(ctypes.c_void_p),
+                self._gapchild.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int32(self._maxdepth),
+                m_row.ctypes.data_as(ctypes.c_void_p),
+                m_start.ctypes.data_as(ctypes.c_void_p),
+                m_end.ctypes.data_as(ctypes.c_void_p),
+                ctypes.c_int64(cap),
+                fallback.ctypes.data_as(ctypes.c_void_p),
+            )
+            if nm == -1:
+                cap = total + 1
+                continue
+            if nm < 0:
+                return None
+            break
+        nm = int(nm)
+        gcap = max(64, total // 16)
+        counts = np.empty(n, dtype=np.int64)
+        while True:
+            c_typ = np.empty(gcap, dtype=np.uint8)
+            g = [np.empty(gcap, dtype=np.int64) for _ in range(6)]
+            ng = self._lib.gs_scan_grammar(
+                data_p, offs_p, ctypes.c_int64(n),
+                fallback.ctypes.data_as(ctypes.c_void_p),
+                counts.ctypes.data_as(ctypes.c_void_p),
+                c_typ.ctypes.data_as(ctypes.c_void_p),
+                *[a.ctypes.data_as(ctypes.c_void_p) for a in g],
+                ctypes.c_int64(gcap),
+            )
+            if ng == -1:
+                gcap = total // 2 + 64
+                continue
+            break
+        ng = int(ng)
+        needed = np.flatnonzero((fallback != 0) | (counts > 0))
+        if needed.size == 0:
+            return [], [], [], [], [], _NO_COLS
+        texts = arr.take(pa.array(needed)).to_pylist()
+        # first mention per needed row, vectorized: matches are row-ordered,
+        # so unique(return_index) yields each row's first match
+        first_surf: list = [None] * needed.size
+        if nm:
+            rows_m, first_idx = np.unique(m_row[:nm], return_index=True)
+            # position of each needed row in rows_m (if present)
+            pos = np.searchsorted(rows_m, needed)
+            pos = np.clip(pos, 0, rows_m.size - 1)
+            hit = rows_m[pos] == needed
+            for i in np.flatnonzero(hit).tolist():
+                j = int(first_idx[pos[i]])
+                first_surf[i] = texts[i][int(m_start[j]):int(m_end[j])]
+        if ng:
+            cols = (
+                c_typ[:ng].tolist(),
+                g[0][:ng].tolist(), g[1][:ng].tolist(), g[2][:ng].tolist(),
+                g[3][:ng].tolist(), g[4][:ng].tolist(), g[5][:ng].tolist(),
+            )
+        else:
+            cols = _NO_COLS
+        return (
+            needed.tolist(), texts, fallback[needed].tolist(),
+            counts[needed].tolist(), first_surf, cols,
+        )
+
     def scan_texts(self, texts: list) -> list:
         """List-of-str convenience wrapper (pandas path / tests)."""
         import pyarrow as pa
