@@ -260,6 +260,45 @@ def test_grammar_sliced_array(scanner, gaz):
         lo += c
 
 
+def test_triples_fast_path_parity(scanner, gaz):
+    """scan_triples_arrow + _triples_only_batch must emit exactly the
+    triple rows the generic _extract_batch emits, including on null/empty/
+    NUL texts, null turn_idx, and non-ASCII fallback rows."""
+    import pyarrow as pa
+
+    from graphene_spark import extract
+
+    rng = random.Random(20260818)
+    frags = [
+        "part_of ", "GO:", "0001234", " ! ", "xref ", "Reactome:", "GC_ID:",
+        "http:", "has_rank NCBITaxon:", "synonym: ", "abc", "ab", "NAD",
+        ".", ";", ",", "|", "(", ")", " ", "\t", "café ", "µ ", "A1",
+        "label", "x1", ":", "!", "0",
+    ]
+    texts = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(0, 12))) or None
+        for _ in range(4000)
+    ]
+    texts[5] = None
+    texts[6] = ""
+    texts[7] = "abc\x00xref A:b"
+    texts[8] = "café part_of GO:1 ! x"
+    conv = [f"c{i % 5}" for i in range(len(texts))]
+    turn: list = list(range(len(texts)))
+    turn[9] = None
+
+    arr = pa.array(texts, pa.string())
+    needed, tx, fbs, counts, surfs, cols = scanner.scan_triples_arrow(arr)
+    idx = pa.array(needed)
+    conv_n = pa.array(conv).take(idx).to_pylist()
+    turn_n = pa.array(turn, pa.int32()).take(idx).to_pylist()
+    gz = extract._gaz_for(tuple(sorted(set(ALIASES))))
+    fast = extract._triples_only_batch(conv_n, turn_n, tx, fbs, counts, surfs, cols, gz)
+    generic = extract._extract_batch(conv, turn, texts, gz, ("triple",))
+    assert sorted(zip(*fast[2])) == sorted(zip(*generic[2]))
+    assert 0 < len(needed) < len(texts)  # the selection actually prunes
+
+
 def test_grammar_odd_input_fallback_shape(scanner):
     """Non-string values (e.g. pandas NaN) must fall back to the regex for
     ALL rows while keeping the (mentions, (counts, cols)) return shape —
