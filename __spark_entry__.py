@@ -64,29 +64,49 @@ def q_w1_w2_chain_rank(spark, sf_dir):
     build, one driver row.)"""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wd = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-    nxt = (
-        ev.withColumn("dst_event_id", F.lead("event_id").over(w))
-        .withColumn("chain_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("dst_event_id").isNotNull())
-        .select(
-            "user_id", "event_id", F.lit("NEXT").alias("edge_type"),
-            "dst_event_id", "chain_rank",
+    # ONE window pass (guide §2.4: remove shuffles outright).  The previous
+    # shape was a union of two branches over the same events scan — the NEXT
+    # branch (asc window) plus an anchors branch carrying a SECOND,
+    # descending window (exchange + desc sort) just to find the last row.
+    # But lead(event_id) IS the last-row detector: dst is NULL exactly on
+    # the partition's last row.  So a single asc window yields every edge
+    # row via a per-row 1-2 element array explode: NEXT when dst is
+    # non-null, FIRST on rn=1, LAST on trailing rows (a single-event user
+    # emits FIRST only — same as the old rn/rn_d filter).  Plan: 1 scan,
+    # 1 exchange, 1 sort, 1 window, 1 generate — was 2 window subtrees
+    # (2 sorts, one descending) unioned.
+    base = ev.withColumn("dst_event_id", F.lead("event_id").over(w)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    edges = F.array_compact(
+        F.array(
+            F.when(
+                F.col("dst_event_id").isNotNull(),
+                F.struct(
+                    F.lit("NEXT").alias("edge_type"),
+                    F.col("dst_event_id").alias("dst"),
+                    F.col("rn").cast("int").alias("cr"),
+                ),
+            ),
+            F.when(
+                (F.col("rn") == 1) | F.col("dst_event_id").isNull(),
+                F.struct(
+                    F.when(F.col("rn") == 1, F.lit("FIRST"))
+                    .otherwise(F.lit("LAST"))
+                    .alias("edge_type"),
+                    F.lit(None).cast("long").alias("dst"),
+                    F.lit(None).cast("int").alias("cr"),
+                ),
+            ),
         )
     )
-    anchors = (
-        ev.withColumn("rn", F.row_number().over(w))
-        .withColumn("rn_d", F.row_number().over(wd))
-        .filter((F.col("rn") == 1) | (F.col("rn_d") == 1))
-        .select(
-            "user_id",
-            "event_id",
-            F.when(F.col("rn") == 1, F.lit("FIRST")).otherwise(F.lit("LAST")).alias("edge_type"),
-            F.lit(None).cast("long").alias("dst_event_id"),
-            F.lit(None).cast("int").alias("chain_rank"),
-        )
+    return base.select("user_id", "event_id", F.explode(edges).alias("e")).select(
+        "user_id",
+        "event_id",
+        F.col("e.edge_type").alias("edge_type"),
+        F.col("e.dst").alias("dst_event_id"),
+        F.col("e.cr").alias("chain_rank"),
     )
-    return nxt.unionByName(anchors)
 
 
 def q_a1_dedup_first(spark, sf_dir):
@@ -166,9 +186,17 @@ def q_j1_broadcast_equi(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
+    # Pre-join the two dimensions into ONE broadcast relation (inner-join
+    # associativity: (o><c)><n == o><(c><n) when each condition references
+    # only its own keys).  The fact stream then probes a single hash table
+    # projected to (c_custkey, n_name) instead of two in sequence — one
+    # broadcast build fewer, and the dim-dim join runs inside the (tiny)
+    # build instead of per fact row.
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_orders"),
@@ -241,12 +269,19 @@ def q_j7_two_hop(spark, sf_dir):
     """J7 2-hop self-join (post-import-cypher.txt:10): supplier pairs bridged
     by a shared part (restricted key range to bound the output)."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 200)
-    a = li.select(F.col("l_suppkey").alias("s1"), "l_partkey").distinct()
-    b = li.select(F.col("l_suppkey").alias("s2"), "l_partkey").distinct()
+    # One exchange on the bridge key instead of two per-side distincts + a
+    # re-exchange for the self-join (guide §2.4): collect the DISTINCT
+    # supplier set per part (collect_set = the per-key dedup the old
+    # .distinct() pairs did), then emit ordered pairs via a double explode
+    # of the same array — a narrow op, no join.  The final distinct dedups
+    # pairs bridged by several parts, as before.  The filtered key range
+    # bounds the per-part set size exactly like it bounded the old
+    # self-join's output.
+    sets = li.groupBy("l_partkey").agg(F.collect_set("l_suppkey").alias("ss"))
     return (
-        a.join(b, "l_partkey")
+        sets.select(F.explode("ss").alias("s1"), "ss")
+        .select("s1", F.explode("ss").alias("s2"))
         .filter(F.col("s1") < F.col("s2"))
-        .select("s1", "s2")
         .distinct()
     )
 

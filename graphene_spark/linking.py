@@ -92,13 +92,12 @@ def estimate_alias_map_bytes(dictionary: DataFrame) -> int:
     # OOM 'auto' exists to prevent)
     n_alias = F.greatest(F.size(F.coalesce("aliases", F.array())), F.lit(0))
     row = dictionary.select(
+        # concat_ws('', array) skips NULL elements, so octet_length of the
+        # join == sum of per-element octet_lengths with NULLs counted 0 —
+        # the same value the earlier aggregate() fold computed, without an
+        # interpreted higher-order function in the (cold, timed) estimate job
         F.coalesce(
-            F.sum(
-                F.expr(
-                    "aggregate(coalesce(aliases, array()), 0L,"
-                    " (acc, a) -> acc + coalesce(octet_length(a), 0))"
-                )
-            ),
+            F.sum(F.octet_length(F.concat_ws("", F.coalesce("aliases", F.array())))),
             F.lit(0),
         ).alias("alias_chars"),
         F.coalesce(F.sum(n_alias), F.lit(0)).alias("n_aliases"),

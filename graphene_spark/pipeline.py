@@ -29,6 +29,64 @@ def all_aliases(dictionary_pdf) -> list[str]:
     return [a for al in dictionary_pdf["aliases"] for a in al]
 
 
+class _LazyOutputs(dict):
+    """run_pipeline's result mapping with on-demand construction.
+
+    Building every output DataFrame eagerly cost ~2,800 py4j round-trips
+    (~0.9-2.3 s of pure driver latency, profiled) even when the caller
+    forces only one output — the common case (the bench forces ``triples``;
+    job.py forces a selected subset).  Entries are built on first access and
+    memoized; builders may read other entries through the mapping itself, so
+    dependency order is automatic (``edges`` pulls ``nodes`` pulls
+    ``linked_mentions`` ...).  Assigning a key (the fuzzy-recovery rewrite
+    does) replaces the pending builder, and everything built AFTER the
+    assignment composes against the assigned value — exactly the dataflow
+    the former eager body expressed top to bottom.
+
+    The guide's framing (§5): the driver should do almost no work; plan
+    construction for five never-forced outputs was measurable driver work on
+    every pipeline invocation."""
+
+    def __init__(self, builders: dict) -> None:
+        super().__init__()
+        self._builders = builders
+
+    def __missing__(self, key):
+        build = self._builders.get(key)
+        if build is None:
+            raise KeyError(key)
+        build(self)  # stores key (and possibly siblings) via __setitem__
+        return dict.__getitem__(self, key)
+
+    # the mapping must LOOK complete (len/iter/contains cover unbuilt keys);
+    # materializing views (items/values) force construction
+    def __contains__(self, key) -> bool:
+        return dict.__contains__(self, key) or key in self._builders
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    def __len__(self) -> int:
+        return len(self.keys())
+
+    def keys(self):
+        ks = list(self._builders)
+        ks.extend(k for k in dict.keys(self) if k not in self._builders)
+        return ks
+
+    def items(self):
+        return [(k, self[k]) for k in self.keys()]
+
+    def values(self):
+        return [self[k] for k in self.keys()]
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -106,6 +164,12 @@ def run_pipeline(
             f"unknown extractor {extractor!r}: expected one of {sorted(extractors)}"
         )
     extract_fn = extractors[extractor]
+    # resolve 'auto' ONCE for both link calls (the resolution is a small
+    # Spark job; linking.resolve_link_strategy memoizes the size estimate
+    # per dictionary frame, this keeps even the conf lookup single)
+    if link_strategy == "auto":
+        link_strategy = linking.resolve_link_strategy(dictionary)
+
     # the full-kind frame is returned for callers ("extracted"); each
     # downstream branch re-runs the cheap narrow stage with the kind filter
     # PUSHED INSIDE the Python boundary (extract._extract_batch docstring) —
@@ -113,19 +177,65 @@ def run_pipeline(
     # mention branch no triple rows, etc.  Recomputation was already the
     # deliberate trade (see the non-persist note above); the pushdown makes
     # each recompute strictly cheaper than filtering the full frame.
-    ex = extract_fn(transcripts, aliases)
-    raw_triples = extract.triples_from_rows(extract_fn(transcripts, aliases, kinds=("triple",)))
-    mentions = extract.mentions_from_rows(extract_fn(transcripts, aliases, kinds=("mention",)))
+    def b_extracted(o):
+        o["extracted"] = extract_fn(transcripts, aliases)
 
-    # resolve 'auto' ONCE for both link calls (the resolution is a small
-    # Spark job; linking.resolve_link_strategy memoizes the size estimate
-    # per dictionary frame, this keeps even the conf lookup single)
-    if link_strategy == "auto":
-        link_strategy = linking.resolve_link_strategy(dictionary)
-    triples, dangling = linking.link_triples(raw_triples, dictionary, strategy=link_strategy)
-    linked_mentions, unlinked = linking.link_mentions(mentions, dictionary, strategy=link_strategy)
+    def b_raw_triples(o):
+        o["raw_triples"] = extract.triples_from_rows(
+            extract_fn(transcripts, aliases, kinds=("triple",))
+        )
+
+    def b_mentions(o):
+        o["mentions"] = extract.mentions_from_rows(
+            extract_fn(transcripts, aliases, kinds=("mention",))
+        )
+
+    def b_link_triples(o):
+        o["triples"], o["dangling"] = linking.link_triples(
+            o["raw_triples"], dictionary, strategy=link_strategy
+        )
+
+    def b_link_mentions(o):
+        o["linked_mentions"], o["unlinked_mentions"] = linking.link_mentions(
+            o["mentions"], dictionary, strategy=link_strategy
+        )
+
+    def b_nodes(o):
+        o["nodes"] = _build_node_set(o["linked_mentions"], o["triples"])
+
+    def b_edges(o):
+        o["edges"], o["dangling_edges"] = graph.build_edges(
+            _edge_candidates(o["triples"]), o["nodes"]
+        )
+
+    def b_metrics(o):
+        o["metrics"] = extract.metrics_from_rows(
+            extract_fn(transcripts, aliases, kinds=("turn",))
+        )
+
+    out = _LazyOutputs(
+        {
+            "extracted": b_extracted,
+            "raw_triples": b_raw_triples,
+            "mentions": b_mentions,
+            "triples": b_link_triples,
+            "dangling": b_link_triples,
+            "linked_mentions": b_link_mentions,
+            "unlinked_mentions": b_link_mentions,
+            "nodes": b_nodes,
+            "edges": b_edges,
+            "dangling_edges": b_edges,
+            "metrics": b_metrics,
+        }
+    )
 
     if fuzzy_threshold is not None:
+        # the fuzzy rewrite needs the base link results NOW; accessing them
+        # through the mapping builds exactly those, and re-assigning the
+        # keys below makes every later builder (nodes/edges) compose against
+        # the recovered frames — same dataflow as the former eager body
+        triples, dangling = out["triples"], out["dangling"]
+        linked_mentions, unlinked = out["linked_mentions"], out["unlinked_mentions"]
         # second-chance LSH linking for exact-miss mentions and triple
         # subjects (MinHash blocking + Jaccard verify, north_star).  ONE
         # fuzzy pass over the union of unmatched norms: building the
@@ -166,8 +276,16 @@ def run_pipeline(
             ["conv_id", "turn_idx", "pred", "obj"],
             "left_anti",
         ).unionByName(dangling.filter(F.col("subj").isNull()))
+        out["triples"] = triples
+        out["dangling"] = dangling
+        out["linked_mentions"] = linked_mentions
+        out["unlinked_mentions"] = unlinked
 
-    # --- node candidates -----------------------------------------------------
+    return out
+
+
+def _build_node_set(linked_mentions: DataFrame, triples: DataFrame) -> DataFrame:
+    """Node candidates -> deduped node set (A1-A3)."""
     # entity nodes (canonical dictionary entries that were actually seen)
     entity_nodes = (
         linked_mentions.select(
@@ -190,9 +308,11 @@ def run_pipeline(
         .distinct()
         .withColumns({"props": F.create_map().cast("map<string,string>"), "seq": F.lit(1).cast("long")})
     )
-    nodes = graph.build_nodes(entity_nodes.unionByName(obj_nodes))
+    return graph.build_nodes(entity_nodes.unionByName(obj_nodes))
 
-    edge_candidates = triples.select(
+
+def _edge_candidates(triples: DataFrame) -> DataFrame:
+    return triples.select(
         F.col("subj").alias("src_name"),
         F.col("obj").alias("dst_name"),
         F.col("pred").alias("rel_type"),
@@ -200,20 +320,3 @@ def run_pipeline(
             F.lit("conv_id"), F.col("conv_id"), F.lit("turn_idx"), F.col("turn_idx").cast("string")
         ).alias("props"),
     )
-    edges, dangling_edges = graph.build_edges(edge_candidates, nodes)
-
-    metrics = extract.metrics_from_rows(extract_fn(transcripts, aliases, kinds=("turn",)))
-
-    return {
-        "extracted": ex,
-        "raw_triples": raw_triples,
-        "mentions": mentions,
-        "triples": triples,
-        "dangling": dangling,
-        "linked_mentions": linked_mentions,
-        "unlinked_mentions": unlinked,
-        "nodes": nodes,
-        "edges": edges,
-        "dangling_edges": dangling_edges,
-        "metrics": metrics,
-    }

@@ -378,12 +378,17 @@ def minhash_duplicates(
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     ) / F.lit(num_hashes)
+    # estimate filter BEFORE the dedup exchange (guide §2.3 — shuffle fewer
+    # bytes): est depends only on (sig_a, sig_b), which are fixed per rep
+    # pair, so filtering first is exactly equivalent to filtering after
+    # dropDuplicates — but the exchange then carries only the two id columns
+    # for surviving pairs instead of every duplicate banding hit dragging
+    # two 32-long signature arrays (~500 B/row) through the shuffle
     pairs = (
         l.join(r, ["band_idx", "band_sig"])
-        .filter(F.col("rep_a") < F.col("rep_b"))
-        .dropDuplicates(["rep_a", "rep_b"])
-        .filter(est >= threshold - 0.2)
+        .filter((F.col("rep_a") < F.col("rep_b")) & (est >= threshold - 0.2))
         .select("rep_a", "rep_b")
+        .dropDuplicates(["rep_a", "rep_b"])
     )
     # verify: reduce docs to the surviving pair ids BEFORE recomputing
     # shingles — the semi-join is a broadcast of the (tiny) pair-id set, so
@@ -395,8 +400,15 @@ def minhash_duplicates(
     pair_ids = pairs.select(F.col("rep_a").alias("_id")).unionByName(
         pairs.select(F.col("rep_b").alias("_id"))
     )
-    verify_sh = docs_narrow.join(pair_ids, "_id", "left_semi").select(
-        "_id", word_shingles(F.col("_text"), ngram_words).alias("_sh")
+    # one compute for both verify sides: sh_a and sh_b are two join builds
+    # over this same frame, and without the checkpoint each build re-runs
+    # the docs scan + semi-join + shingle expression (measured: the second
+    # full recompute was one of two docs scans in the warm profile).  The
+    # frame is survivors-only, so at scale it is tiny relative to the corpus
+    verify_sh = _materialize(
+        docs_narrow.join(pair_ids, "_id", "left_semi").select(
+            "_id", word_shingles(F.col("_text"), ngram_words).alias("_sh")
+        )
     )
     sh_a = verify_sh.withColumnsRenamed({"_id": "rep_a", "_sh": "sh_a"})
     sh_b = verify_sh.withColumnsRenamed({"_id": "rep_b", "_sh": "sh_b"})
