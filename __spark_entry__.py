@@ -25,6 +25,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Small inputs often arrive as ONE parquet split (single row group), so
+    CPU-heavy per-row work (regex token scans, Arrow UDF kernels, explodes)
+    runs single-task.  Fan out to the cluster's parallelism first — a no-op
+    at scale, where inputs already have enough splits (same guard as
+    tdp.dedup._ensure_parallelism)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # flagship entry
 # ---------------------------------------------------------------------------
@@ -486,7 +498,7 @@ def q_tdp_textstats(spark, sf_dir):
     from graphene_spark.tdp import textstats
 
     ensure_shipped(spark)
-    d = _t(spark, sf_dir, "documents")
+    d = _fan_out(_t(spark, sf_dir, "documents"))
     ws = F.split(F.trim(F.col("text")), r"\s+")
     n_tokens = F.size(ws)
     markers = ["the", "and", "of", "a", "key"]

@@ -177,19 +177,34 @@ def _collapse_groups(keyed: DataFrame, id_alias: str = "_id"):
     identical-content groups (the components-based curation path in curate.py
     never materializes it).
 
-    The explicit repartition pins the window's shuffle width to the
-    cluster's core count instead of spark.sql.shuffle.partitions: the window
-    then needs no exchange of its own (hash(_key) distribution already
-    satisfied), and the per-doc frame gets core-count tasks whether the
-    session was tuned for terabyte scans or not (measured at sf0.1: 64
-    static shuffle partitions over a 5k-row frame cost ~1s/stage in pure
-    task-launch overhead).
+    The key-only repartition (NO explicit partition count) both feeds the
+    window — hash(_key) distribution already satisfied, so the window needs
+    no exchange of its own — and stays AQE-coalescible: an explicit count
+    (the round-6 core-count pin) is exempt from AQE partition coalescing,
+    so every downstream stage ran core-count tasks even over a few thousand
+    rows (~8 jobs x 32 near-empty tasks per run at sf0.1, the dominant warm
+    cost in the event-log profile).  Without the pin AQE sizes the width
+    from the actual shuffle bytes: ~1-2 tasks at sf0.1, advisory-sized
+    partitions at scale — the guide's scale-adaptive partitioning (§2),
+    measured -20-25% warm wall on the minhash row with identical output.
+
+    ``aug`` (the window output) is localCheckpointed HERE, not the caller's
+    pre-window frame: the event-log profile showed exchange reuse does NOT
+    deduplicate the three identical repartition+window branches over a
+    checkpointed-RDD scan — members/reps/the expand builds each re-scanned
+    the checkpoint and recomputed the window as separate ~1 s core-width
+    jobs.  Checkpointing post-window makes every branch a narrow
+    filter/project over ONE computed frame, and the checkpoint inherits the
+    AQE-coalesced width (1-2 partitions at sf0.1) instead of the
+    fan-out width, so each branch scan is 1-2 tasks, not core-count.
+    Callers must NOT pre-checkpoint their input (one checkpoint per frame).
     """
-    par = keyed.sparkSession.sparkContext.defaultParallelism
     w = Window.partitionBy("_key")
-    aug = keyed.repartition(par, "_key").withColumn(
-        "_rep", F.min(id_alias).over(w)
-    ).withColumn("_gn", F.count("*").over(w))
+    aug = _materialize(
+        keyed.repartition("_key")
+        .withColumn("_rep", F.min(id_alias).over(w))
+        .withColumn("_gn", F.count("*").over(w))
+    )
     members = aug.select("_key", F.col(id_alias).alias("_id"), "_rep")
     multi = aug.filter(F.col("_gn") > 1)
     intra = (
@@ -351,24 +366,24 @@ def minhash_duplicates(
     key = F.when(F.col("_sh").isNotNull(), _setkey(F.col("_sh"))).otherwise(
         F.struct(F.col("_id").alias("k1"), F.col("_id").alias("k2"))
     )
-    sig = _materialize(
-        shingles.select(
-            "_id",
-            key.alias("_key"),
-            _minhash_udf(num_hashes)(shingle_hashes(F.col("_sh"))).alias("_sig"),
-        )
+    # no checkpoint here: _collapse_groups checkpoints its window output,
+    # which subsumes this frame (one compute, one cached copy)
+    sig = shingles.select(
+        "_id",
+        key.alias("_key"),
+        _minhash_udf(num_hashes)(shingle_hashes(F.col("_sh"))).alias("_sig"),
     )
     members, intra, reps = _collapse_groups(sig)
     intra = intra.withColumn("jaccard", F.lit(1.0))
     banded = band_frame(reps, num_hashes=num_hashes, bands=bands)
     # residual hot-bucket cap: one window count on the band key, then prune.
-    # The explicit core-count repartition doubles as the window's exchange
-    # AND the self-join's co-partitioning (both sides keep hash(band keys)),
-    # so cap + join cost ONE shuffle at cluster-width task counts.
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    # The key-only repartition doubles as the window's exchange AND the
+    # self-join's co-partitioning (both sides keep hash(band keys)), so cap
+    # + join cost ONE shuffle — and with no explicit count it stays
+    # AQE-coalescible (see _collapse_groups).
     bucket_n = F.count("*").over(Window.partitionBy("band_idx", "band_sig"))
     banded = (
-        banded.repartition(par, "band_idx", "band_sig")
+        banded.repartition("band_idx", "band_sig")
         .withColumn("_n", bucket_n)
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
@@ -532,9 +547,7 @@ def simhash_duplicates(
     )
     # the signature IS the content key here: hamming(a, b) depends on nothing
     # else, so grouping by _sim is exact (no hash-collision caveat)
-    keyed = _materialize(
-        sigs.withColumn("_key", F.struct(F.col("_sim").alias("k1")))
-    )
+    keyed = sigs.withColumn("_key", F.struct(F.col("_sim").alias("k1")))
     members, intra, reps = _collapse_groups(keyed)
     intra = intra.withColumn("hamming", F.lit(0).cast("int"))
     banded = reps.select(
@@ -554,12 +567,11 @@ def simhash_duplicates(
             )
         ).alias("_b"),
     ).select("_id", "_sim", "_b.band_idx", "_b.band_val")
-    # core-width repartition = the cap window's exchange AND the self-join's
-    # co-partitioning (see minhash_duplicates)
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    # key-only repartition = the cap window's exchange AND the self-join's
+    # co-partitioning, AQE-coalescible (see minhash_duplicates)
     bucket_n = F.count("*").over(Window.partitionBy("band_idx", "band_val"))
     banded = (
-        banded.repartition(par, "band_idx", "band_val")
+        banded.repartition("band_idx", "band_val")
         .withColumn("_n", bucket_n)
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
@@ -666,13 +678,11 @@ def embedding_near_duplicates(
     )
     # collapse only non-zero-norm vectors; zero vectors keep singleton groups
     # (their pairwise cosine is 0 here, never >= threshold)
-    keyed = _materialize(
-        base.withColumn(
-            "_key",
-            F.when(F.col("_nz"), F.col("_vkey")).otherwise(
-                F.struct(F.col("_id").alias("k1"), F.col("_id").alias("k2"))
-            ),
-        )
+    keyed = base.withColumn(
+        "_key",
+        F.when(F.col("_nz"), F.col("_vkey")).otherwise(
+            F.struct(F.col("_id").alias("k1"), F.col("_id").alias("k2"))
+        ),
     )
     members, intra, reps = _collapse_groups(keyed)
     intra = intra.withColumn("cosine", F.lit(1.0))
@@ -691,12 +701,11 @@ def embedding_near_duplicates(
             )
         ).alias("_t"),
     ).select("_id", "_v", "_t.table_idx", "_t._bucket")
-    # core-width repartition = the cap window's exchange AND the self-join's
-    # co-partitioning (see minhash_duplicates)
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # key-only repartition = the cap window's exchange AND the self-join's
+    # co-partitioning, AQE-coalescible (see minhash_duplicates)
     bucket_n = F.count("*").over(Window.partitionBy("table_idx", "_bucket"))
     tabled = (
-        tabled.repartition(par, "table_idx", "_bucket")
+        tabled.repartition("table_idx", "_bucket")
         .withColumn("_n", bucket_n)
         .filter(F.col("_n") <= max_bucket)
         .drop("_n")
