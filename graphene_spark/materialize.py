@@ -160,20 +160,41 @@ def read_merged_pruned(
     return spark.read.parquet(path).filter(F.col("_kb").isin(touched)).drop("_kb")
 
 
+def _proc_start_time(pid: int) -> str | None:
+    """Kernel start-time ticks of ``pid`` (/proc/<pid>/stat field 22), or
+    None when unreadable (non-Linux, or the process is gone).  Stamped into
+    the compaction lock so a RECYCLED pid cannot impersonate a live
+    compactor: pid-only liveness would leave a crashed compaction
+    permanently unrepaired once an unrelated process reuses the pid
+    (round-6 ADVICE) — the exact dedup-history-loss scenario
+    recover_compaction exists to prevent."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            data = f.read()
+        # comm (field 2) may contain spaces/parens: split after its closing ')'
+        rest = data[data.rindex(b")") + 2:].split()
+        return rest[19].decode()  # field 22 overall
+    except Exception:  # noqa: BLE001 — liveness degrades to pid-only
+        return None
+
+
 def _compaction_lock_alive(path: str) -> bool:
     """True while another LIVE process holds the compaction lock for ``path``.
 
-    The lock file holds the compactor's pid; a pid that no longer exists is a
-    crash leftover and does not count (the stale file itself is reaped by the
-    next ``compact_merged``).  This is what makes ``recover_compaction`` safe
-    to call from every reader/writer entry point: without it, a concurrent
-    reader would rmtree the in-flight compaction's ``.compact.tmp`` mid-run
-    and the compactor's ``os.replace(tmp, path)`` would raise after ``path``
-    was already renamed away — briefly losing the table."""
+    The lock file holds ``pid starttime``; a pid that no longer exists — or
+    exists but with a DIFFERENT kernel start time (pid recycled since the
+    crash) — is a leftover and does not count.  This is what makes
+    ``recover_compaction`` safe to call from every reader/writer entry
+    point: without it, a concurrent reader would rmtree the in-flight
+    compaction's ``.compact.tmp`` mid-run and the compactor's
+    ``os.replace(tmp, path)`` would raise after ``path`` was already renamed
+    away — briefly losing the table."""
     lock = path.rstrip("/") + ".compact.lock"
     try:
         with open(lock) as f:
-            pid = int(f.read().strip() or "0")
+            fields = f.read().split()
+        pid = int(fields[0]) if fields else 0
+        stamped_start = fields[1] if len(fields) > 1 else "-"
     except (OSError, ValueError):
         return False
     if pid <= 0 or pid == os.getpid():
@@ -185,8 +206,46 @@ def _compaction_lock_alive(path: str) -> bool:
     except ProcessLookupError:
         return False
     except PermissionError:
-        return True  # exists but owned by another user
+        pass  # exists but owned by another user — still check start time
+    if stamped_start != "-":
+        now_start = _proc_start_time(pid)
+        if now_start is not None and now_start != stamped_start:
+            return False  # pid recycled: the original holder is dead
     return True
+
+
+def _acquire_compaction_lock(path: str) -> str:
+    """Atomically create the pid+starttime-stamped compaction lock.
+
+    O_CREAT|O_EXCL FIRST, then handle the loser paths — the round-6 shape
+    (exists()+remove()+create) was a TOCTOU: two processes could both see a
+    stale lock, both reap it, and the second reap would delete the first
+    winner's LIVE lock, defeating the single-writer guarantee.  Here a stale
+    lock is reaped via an atomic ``os.rename`` to a unique name (exactly one
+    reaper can win; the loser's rename raises FileNotFoundError and simply
+    retries the O_EXCL create, where it now loses cleanly)."""
+    lock = path.rstrip("/") + ".compact.lock"
+    for _attempt in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if _compaction_lock_alive(path):
+                raise RuntimeError(
+                    f"compaction already in progress for {path} (lock: {lock})"
+                ) from None
+            grave = f"{lock}.stale.{os.getpid()}"
+            try:
+                os.rename(lock, grave)  # atomic: one reaper wins
+                os.remove(grave)
+            except FileNotFoundError:
+                pass  # another process reaped (or is acquiring) — retry once
+            continue
+        with os.fdopen(fd, "w") as f:
+            f.write(f"{os.getpid()} {_proc_start_time(os.getpid()) or '-'}")
+        return lock
+    raise RuntimeError(
+        f"compaction lock for {path} is contended (lock: {lock})"
+    )
 
 
 def recover_compaction(path: str) -> bool:
@@ -236,21 +295,15 @@ def compact_merged(spark: SparkSession, path: str) -> dict:
 
     Returns {"files_before", "files_after", "rows"} for the caller's lineage.
 
-    Single-writer enforced: a pid-stamped ``<path>.compact.lock`` is held for
-    the whole rewrite+swap, concurrent ``compact_merged`` calls fail fast,
-    and ``recover_compaction`` leaves everything alone while the holder is
-    alive.  A crash leaves a stale lock (dead pid) that the next call reaps.
+    Single-writer enforced: a pid+starttime-stamped ``<path>.compact.lock``
+    is acquired atomically (O_CREAT|O_EXCL; stale locks reaped via atomic
+    rename — see _acquire_compaction_lock) and held for the whole
+    rewrite+swap; concurrent ``compact_merged`` calls fail fast, and
+    ``recover_compaction`` leaves everything alone while the holder is
+    alive.  A crash leaves a stale lock (dead or recycled pid) that the
+    next call reaps.
     """
-    lock = path.rstrip("/") + ".compact.lock"
-    if _compaction_lock_alive(path):
-        raise RuntimeError(f"compaction already in progress for {path} (lock: {lock})")
-    if os.path.exists(lock):
-        os.remove(lock)  # stale: holder pid is dead
-    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    try:
-        os.write(fd, str(os.getpid()).encode())
-    finally:
-        os.close(fd)
+    lock = _acquire_compaction_lock(path)
     old = path.rstrip("/") + ".compact.old"
     tmp = path.rstrip("/") + ".compact.tmp"
     try:

@@ -140,18 +140,31 @@ def _get_lib() -> ctypes.CDLL | None:
         return _LIB
 
 
-def _ascii_literal(ch: str) -> int | None:
-    """The ASCII input byte (post tolower-fold) that matches pattern literal
-    ``ch`` under re.IGNORECASE, or None if no ASCII byte can match it."""
-    low = "i" if ch == "İ" else ch.lower()
-    if len(low) != 1:  # multi-char full lowering (only U+0130 in Unicode,
-        return None    # handled above) — not representable per-byte
+def _ascii_literal(ch: str) -> tuple[int, bool] | None:
+    """(ASCII input byte that matches pattern literal ``ch`` under
+    re.IGNORECASE after the tolower fold, via_extra_fold) — or None if no
+    ASCII byte can match it.
+
+    ``via_extra_fold`` is True when the byte came from an _EXTRA_CASES
+    equivalence (U+0131 dotless i, U+017F long s, U+0130 ...) rather than a
+    plain ASCII lowering.  Folding such a character into an ASCII trie edge
+    can MERGE branches the regex alternation keeps distinct, and the trie's
+    longest-match can then pick a span the regex (which commits to its
+    first matching alternative) never produces — a documented byte-parity
+    break (round-6 ADVICE, reproduced with aliases ('ia', 'ıa b') on text
+    'ia b').  Callers treat any via_extra_fold alias as a reason to disable
+    the native scanner for the whole dictionary."""
+    if ch == "İ":
+        return (ord("i"), True)
+    low = ch.lower()
+    if len(low) != 1:  # multi-char full lowering — not representable per-byte
+        return None
     o = ord(low)
     if o < 128:
-        return o
+        return (o, False)
     for eq in _EXTRA_CASES.get(o, ()):
         if eq < 128:
-            return eq  # e.g. U+017F LONG S: ASCII 's' text matches it
+            return (eq, True)  # e.g. U+017F LONG S: ASCII 's' text matches it
     return None
 
 
@@ -179,25 +192,47 @@ class AsciiGazetteerScanner:
         children: list[dict[int, int]] = [{}]
         gapchild = [-1]
         endflag = [0]
+        edge_raw: list[dict[int, str]] = [{}]  # per-node byte -> raw identity
         maxdepth = 0
         for n in norms:
             path: list[int | None] = []
+            raws: list[str | None] = []
             ok = True
             for ti, tok in enumerate(n.split(" ")):
                 if ti:
                     path.append(None)  # token gap
+                    raws.append(None)
                 for ch in tok:
-                    b = _ascii_literal(ch)
-                    if b is None:
+                    lit = _ascii_literal(ch)
+                    if lit is None:
                         ok = False  # can never match ASCII text — omit
                         break
-                    path.append(b)
+                    path.append(lit[0])
+                    # raw identity of the pattern char AFTER the plain
+                    # lower fold ('A'=='a' — IGNORECASE equates them), but
+                    # BEFORE any _EXTRA_CASES fold ('ı' stays distinct
+                    # from 'i'): two aliases sharing a trie edge from
+                    # DIFFERENT raw identities is exactly the merge that
+                    # breaks byte-parity with the regex (round-6 ADVICE,
+                    # reproduced: ('ia', 'ıa b') on 'ia b' — regex commits
+                    # to its 'ia' alternative, the merged trie's
+                    # longest-match returns 'ia b')
+                    low = ch.lower()
+                    raws.append(low if len(low) == 1 else ch)
                 if not ok:
                     break
-            if not ok or not path or len(path) > _MAX_DEPTH:
+            if len(path) > _MAX_DEPTH:
+                # a >511-byte alias would match via the regex but silently
+                # miss in the automaton — a dictionary-wide correctness
+                # switch, not a per-alias optimization (round-6 ADVICE)
+                raise ValueError(
+                    f"alias path length {len(path)} exceeds the automaton "
+                    f"depth bound {_MAX_DEPTH}"
+                )
+            if not ok or not path:
                 continue
             node = 0
-            for p in path:
+            for p, raw in zip(path, raws):
                 if p is None:
                     nxt = gapchild[node]
                     if nxt < 0:
@@ -206,7 +241,21 @@ class AsciiGazetteerScanner:
                         children.append({})
                         gapchild.append(-1)
                         endflag.append(0)
+                        edge_raw.append({})
                 else:
+                    seen = edge_raw[node].get(p)
+                    if seen is not None and seen != raw:
+                        # the same trie edge would serve two DIFFERENT raw
+                        # pattern identities (an _EXTRA_CASES fold merging
+                        # into a plain char, or two fold-colliding
+                        # aliases): longest-match over the merged trie can
+                        # diverge from the regex's first-alternative
+                        # commit — fall back to the regex for the WHOLE
+                        # dictionary rather than silently mismatch
+                        raise ValueError(
+                            f"case-fold collision on trie edge {chr(p)!r}: "
+                            f"{seen!r} vs {raw!r}"
+                        )
                     nxt = children[node].get(p, -1)
                     if nxt < 0:
                         nxt = len(children)
@@ -214,6 +263,8 @@ class AsciiGazetteerScanner:
                         children.append({})
                         gapchild.append(-1)
                         endflag.append(0)
+                        edge_raw.append({})
+                    edge_raw[node][p] = raw
                 node = nxt
             endflag[node] = 1
             maxdepth = max(maxdepth, len(path))

@@ -318,3 +318,26 @@ def test_grammar_kill_switch(monkeypatch, scanner):
     monkeypatch.delenv("GRAPHENE_SPARK_NO_NATIVE_GRAMMAR")
     scan, full = extract._scan_method(scanner, "scan_texts_full", "scan_texts")
     assert full and scan.__name__ == "scan_texts_full"
+
+
+def test_case_fold_collision_disables_native():
+    """Aliases whose _EXTRA_CASES fold would merge a trie edge with a
+    DISTINCT raw pattern char (round-6 ADVICE repro: ('ia', 'ıa b') — the
+    regex commits to its 'ia' alternative on text 'ia b', the merged trie's
+    longest-match would return 'ia b') must disable the native path for the
+    whole dictionary; the regex remains the behavior of record."""
+    assert native_scan.scanner_for(("ia", "ıa b")) is None
+    # two aliases colliding post-fold (ſa vs sa) likewise
+    assert native_scan.scanner_for(("sa", "ſa b")) is None
+    # an innocuous fold with no conflicting edge keeps the fast path
+    sc = native_scan.scanner_for(("ſtation", "abc"))
+    if sc is not None:  # None only when no C toolchain
+        got = sc.scan_texts(["the station was big"])
+        assert got == [["station"]]
+
+
+def test_overdeep_alias_disables_native():
+    """An alias whose trie path exceeds the automaton depth bound would
+    match via the regex but silently miss in the C scan (round-6 ADVICE):
+    the whole dictionary must fall back, not drop the alias."""
+    assert native_scan.scanner_for(("a" * 600, "abc")) is None

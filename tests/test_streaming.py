@@ -392,3 +392,50 @@ def test_dedup_state_soak_bounded(spark, tmp_path):
     # the early-quartile mean (a linear-in-history probe would trend far
     # past this bound over the soak's growth in corpus size)
     assert res["latency_ratio_late_over_early"] < 2.0, res
+
+
+def test_compaction_lock_stale_and_recycled_pid(tmp_path):
+    """Lock acquisition is atomic (O_CREAT|O_EXCL + rename-reap, round-6
+    ADVICE): a dead-pid lock is reaped, a matching live lock blocks, and a
+    live pid with a DIFFERENT kernel start time (recycled pid) counts as
+    stale rather than blocking recovery forever."""
+    import os
+    import subprocess
+
+    from graphene_spark import materialize as mz
+
+    path = str(tmp_path / "table")
+    lock = path + ".compact.lock"
+
+    # dead pid -> stale -> acquire wins and stamps us
+    child = subprocess.Popen(["true"])
+    child.wait()
+    with open(lock, "w") as f:
+        f.write(f"{child.pid} {mz._proc_start_time(child.pid) or '12345'}")
+    assert not mz._compaction_lock_alive(path)
+    got = mz._acquire_compaction_lock(path)
+    with open(got) as f:
+        pid_field = int(f.read().split()[0])
+    assert pid_field == os.getpid()
+    os.remove(got)
+
+    # live pid, matching start time -> blocks
+    sleeper = subprocess.Popen(["sleep", "30"])
+    try:
+        with open(lock, "w") as f:
+            f.write(f"{sleeper.pid} {mz._proc_start_time(sleeper.pid) or '-'}")
+        assert mz._compaction_lock_alive(path)
+        try:
+            mz._acquire_compaction_lock(path)
+            raise AssertionError("acquire must fail while holder is alive")
+        except RuntimeError:
+            pass
+        # live pid but WRONG start time -> recycled -> stale
+        with open(lock, "w") as f:
+            f.write(f"{sleeper.pid} 1")
+        assert not mz._compaction_lock_alive(path)
+    finally:
+        sleeper.kill()
+        sleeper.wait()
+        if os.path.exists(lock):
+            os.remove(lock)
