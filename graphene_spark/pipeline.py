@@ -19,10 +19,36 @@ from . import extract, graph, linking
 
 
 def dictionary_to_spark(spark: SparkSession, dictionary_pdf) -> DataFrame:
-    return spark.createDataFrame(
+    df = spark.createDataFrame(
         dictionary_pdf,
         schema="entity_id long, canonical_name string, aliases array<string>, entity_type string, is_hot boolean",
     )
+    # The full dictionary is ALREADY on the driver here, so compute the
+    # broadcast-size estimate that strategy='auto' needs directly — the
+    # same formula as linking.estimate_alias_map_bytes (octet lengths,
+    # x2 headroom, 64 B/alias map overhead; parity-pinned by
+    # test_pipeline) — and stamp the memo the resolver reads.  This takes
+    # the one Spark job 'auto' cost out of every pipeline run on this
+    # path; dictionaries too large to pass through a driver-side pandas
+    # frame never come this way and keep the distributed estimate.
+    try:
+        alias_chars = n_aliases = payload_chars = 0
+        for _, row in dictionary_pdf.iterrows():
+            al_full = list(row["aliases"]) if row["aliases"] is not None else []
+            # n_aliases counts NULL elements too (Spark's size() does);
+            # alias_chars skips them (concat_ws does) — formula parity
+            n_aliases += len(al_full)
+            alias_chars += sum(len(a.encode()) for a in al_full if isinstance(a, str))
+            name = row["canonical_name"]
+            etype = row["entity_type"]
+            payload_chars += len(al_full) * (
+                (len(name.encode()) if isinstance(name, str) else 0)
+                + (len(etype.encode()) if isinstance(etype, str) else 0)
+            )
+        df._gs_alias_map_bytes = int(2 * (alias_chars + payload_chars) + 64 * n_aliases)
+    except Exception:  # noqa: BLE001 — estimation falls back to the Spark job
+        pass
+    return df
 
 
 def all_aliases(dictionary_pdf) -> list[str]:

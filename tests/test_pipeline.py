@@ -175,3 +175,34 @@ def test_estimate_alias_map_bytes_null_hardened(spark):
     only_good = linking.estimate_alias_map_bytes(d.filter("entity_id = 1"))
     assert est == only_good  # null rows contribute zero, never negative
     assert est > 0
+
+
+def test_dictionary_to_spark_stamps_exact_estimate(spark):
+    """dictionary_to_spark pre-computes the broadcast-size estimate from the
+    driver-side pandas frame (the data is already local — running a Spark
+    job to re-derive it was one whole job in every timed pipeline run).
+    The stamped value must EQUAL linking.estimate_alias_map_bytes on the
+    same rows, including the null-hardening cases (null alias arrays, null
+    elements inside arrays, null names/types)."""
+    import pandas as pd
+
+    from graphene_spark import linking, pipeline
+
+    pdf = pd.DataFrame(
+        {
+            "entity_id": [1, 2, 3, 4],
+            "canonical_name": ["Alpha", None, "Gamma", "Δelta"],
+            "aliases": [["alpha", "al"], None, ["g", None, "γάμμα"], []],
+            "entity_type": ["T", None, None, "U"],
+            "is_hot": [False, False, True, False],
+        }
+    )
+    df = pipeline.dictionary_to_spark(spark, pdf)
+    stamped = getattr(df, "_gs_alias_map_bytes", None)
+    assert stamped is not None
+    # the distributed estimator on a frame WITHOUT the stamp must agree
+    fresh = pipeline.dictionary_to_spark(spark, pdf)
+    del fresh._gs_alias_map_bytes
+    assert stamped == linking.estimate_alias_map_bytes(fresh)
+    # and the resolver uses the stamp (no job): broadcast for this tiny dict
+    assert linking.resolve_link_strategy(df) == "broadcast"
