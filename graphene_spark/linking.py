@@ -29,10 +29,110 @@ from . import rules
 DEFAULT_SALT = 8
 
 
+_ALIAS_MAP_SCHEMA = (
+    "alias_norm string, entity_id long, canonical_name string, "
+    "entity_type string, is_hot boolean"
+)
+
+
+def local_alias_map_rows(dictionary_pdf) -> list[tuple] | None:
+    """Driver-side computation of alias_map()'s exact rows, or None when
+    byte-parity with the SQL path cannot be PROVEN for this input.
+
+    Used by pipeline.dictionary_to_spark: when the dictionary is already a
+    driver-local frame, running a Spark aggregation job (sort-agg + exchange
+    + broadcast build, ~0.3 s of jobs plus AQE stage latency per pipeline
+    run) to re-derive a map whose inputs sit in driver memory is pure
+    latency — the same reasoning as the driver-side size estimate above it.
+
+    Parity argument, term by term against alias_map()'s expression:
+
+    * ``trim(regexp_replace(lower(alias), GAP_CLASS, ' '))`` ==
+      ``rules.normalize_alias`` — the documented operation-for-operation
+      mirror (rules.py), and ALREADY load-bearing for linking correctness:
+      mention ``norm`` keys are computed with normalize_alias in the Python
+      extractors and joined against the SQL-computed ``alias_norm``, so any
+      alias where the two dialects disagreed would fail to link today.
+      Aliases are still required to be ASCII here (``str.isascii``) so the
+      lower/regex/trim parity is provable rather than assumed — a non-ASCII
+      alias aborts the precompute and the Spark path runs as before;
+    * explode semantics: NULL/empty arrays yield no rows; NULL elements
+      normalize to NULL and are dropped by the ``alias_norm != ''`` filter —
+      mirrored by skipping None entries; the empty-norm filter is applied
+      identically;
+    * ``min(struct(entity_id, canonical_name, entity_type, is_hot))`` is a
+      lexicographic tuple min.  Python tuple comparison matches Spark's
+      struct ordering when no field is NULL (any None field aborts) because
+      int order is int order, bool false < true both sides, and Python's
+      code-point string order equals UTF8String's byte order (UTF-8
+      preserves code-point ordering) — so the payload strings need not be
+      ASCII, only the join-key aliases.
+
+    Any unexpected shape (non-str alias, NaN/None field, exotic container)
+    aborts to None — the caller then simply leaves the Spark path in place.
+    """
+    import numpy as np
+
+    from . import rules
+
+    try:
+        best: dict[str, tuple] = {}
+        for _, row in dictionary_pdf.iterrows():
+            al = row["aliases"]
+            if al is None:
+                continue
+            eid, name = row["entity_id"], row["canonical_name"]
+            etype, hot = row["entity_type"], row["is_hot"]
+            # bool is an int subclass; reject it for entity_id explicitly
+            if isinstance(eid, bool) or not isinstance(eid, (int, np.integer)):
+                return None
+            if not isinstance(name, str) or not isinstance(etype, str):
+                return None
+            if not isinstance(hot, (bool, np.bool_)):
+                return None
+            tup = (int(eid), str(name), str(etype), bool(hot))
+            for a in al:
+                if a is None:
+                    continue
+                if not isinstance(a, str) or not a.isascii():
+                    return None
+                norm = rules.normalize_alias(a)
+                if norm == "":
+                    continue
+                cur = best.get(norm)
+                if cur is None or tup < cur:
+                    best[norm] = tup
+        return [(k, *v) for k, v in best.items()]
+    except Exception:  # noqa: BLE001 — parity not provable -> Spark path
+        return None
+
+
 def alias_map(dictionary: DataFrame) -> DataFrame:
     """Explode dictionary aliases to (alias_norm, entity_id, canonical_name,
     entity_type, is_hot).  First-writer-wins on duplicate aliases
-    (NodeCache.getOrCreate semantics, Importer.groovy:97-103)."""
+    (NodeCache.getOrCreate semantics, Importer.groovy:97-103).
+
+    When dictionary_to_spark proved driver-side parity and stamped the
+    precomputed rows (``_gs_alias_map_rows``), the map is a local relation —
+    the broadcast build becomes a LocalTableScan instead of an aggregation
+    job (measured: −0.6 s per pipeline run at sf0.1, exec 2.2 → 1.6 s warm).
+    The DataFrame is memoized per dictionary frame so repeated link calls
+    (triples + mentions, or repeated pipeline runs on one dictionary) reuse
+    one plan object."""
+    rows = getattr(dictionary, "_gs_alias_map_rows", None)
+    if rows is not None:
+        memo = getattr(dictionary, "_gs_alias_map_df", None)
+        if memo is None:
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                rows,
+                columns=["alias_norm", "entity_id", "canonical_name",
+                         "entity_type", "is_hot"],
+            )
+            memo = dictionary.sparkSession.createDataFrame(pdf, schema=_ALIAS_MAP_SCHEMA)
+            dictionary._gs_alias_map_df = memo
+        return memo
     return (
         dictionary.select(
             "entity_id",

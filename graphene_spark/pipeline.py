@@ -48,6 +48,16 @@ def dictionary_to_spark(spark: SparkSession, dictionary_pdf) -> DataFrame:
         df._gs_alias_map_bytes = int(2 * (alias_chars + payload_chars) + 64 * n_aliases)
     except Exception:  # noqa: BLE001 — estimation falls back to the Spark job
         pass
+    # Same driver-is-already-holding-the-data reasoning for the alias MAP
+    # itself: when byte-parity with the SQL normalization/dedup is provable
+    # for this input (ASCII aliases, no NULL fields — see
+    # linking.local_alias_map_rows), stamp the precomputed rows so
+    # linking.alias_map serves a local relation instead of running an
+    # aggregation job + broadcast build per pipeline run.  Unprovable
+    # inputs get no stamp and keep the Spark path unchanged.
+    rows = linking.local_alias_map_rows(dictionary_pdf)
+    if rows is not None:
+        df._gs_alias_map_rows = rows
     return df
 
 

@@ -206,3 +206,92 @@ def test_dictionary_to_spark_stamps_exact_estimate(spark):
     assert stamped == linking.estimate_alias_map_bytes(fresh)
     # and the resolver uses the stamp (no job): broadcast for this tiny dict
     assert linking.resolve_link_strategy(df) == "broadcast"
+
+
+def test_dictionary_to_spark_stamps_local_alias_map(spark):
+    """dictionary_to_spark pre-computes alias_map()'s rows driver-side when
+    parity is provable (ASCII aliases, non-null fields) and linking.alias_map
+    serves them as a local relation.  The precomputed rows must EQUAL the
+    Spark aggregation on the same frame — including first-writer-wins
+    tie-breaks across entities AND across duplicate entity_id rows, the gap
+    normalization ('_'/'-'/whitespace runs -> one space), identity-free
+    aliases dropping out, and NULL elements inside alias arrays."""
+    import pandas as pd
+
+    from graphene_spark import linking, pipeline
+
+    pdf = pd.DataFrame(
+        {
+            # 7 shares an alias_norm with 2 (case/underscore variants) and
+            # must lose the min-struct to the lower id; two id-5 rows share
+            # 'twin' so the tie-break runs past entity_id to the name
+            "entity_id": [2, 7, 5, 5, 9],
+            "canonical_name": ["Beta", "Eta", "Zed", "Ann", "Iota"],
+            "aliases": [
+                ["Foo_Bar", "beta"],
+                ["foo-bar", "  foo  bar ", "eta"],
+                ["twin", "-", "_", "   "],
+                ["twin", None, "ann"],
+                None,
+            ],
+            "entity_type": ["T", "T", "T", "T", "U"],
+            "is_hot": [False, True, False, False, False],
+        }
+    )
+    df = pipeline.dictionary_to_spark(spark, pdf)
+    assert getattr(df, "_gs_alias_map_rows", None) is not None
+    got = {tuple(r) for r in linking.alias_map(df).collect()}
+    fresh = pipeline.dictionary_to_spark(spark, pdf)
+    del fresh._gs_alias_map_rows  # force the Spark aggregation path
+    expect = {tuple(r) for r in linking.alias_map(fresh).collect()}
+    assert got == expect
+    # the tricky rows explicitly: variants folded, lower id won, '-'/'_'
+    # aliases never became keys, and the id-5 tie broke on the name
+    by_key = {r[0]: r for r in got}
+    assert by_key["foo bar"][1] == 2
+    assert by_key["twin"][1:3] == (5, "Ann")
+    assert "" not in by_key
+    # memoized: the second call reuses the same local DataFrame object
+    assert linking.alias_map(df) is linking.alias_map(df)
+
+
+def test_local_alias_map_unprovable_inputs_fall_back():
+    """Any input where byte-parity with the SQL path is not PROVEN must
+    return None (the caller then keeps the Spark aggregation): non-ASCII
+    aliases (lower/regex dialect parity unproven), NULL/NaN payload fields
+    (struct-min NULL ordering not mirrored), bool entity_id, non-str
+    aliases."""
+    import numpy as np
+    import pandas as pd
+
+    from graphene_spark import linking
+
+    def pdf(**over):
+        base = {
+            "entity_id": [1],
+            "canonical_name": ["A"],
+            "aliases": [["a"]],
+            "entity_type": ["T"],
+            "is_hot": [False],
+        }
+        base.update(over)
+        return pd.DataFrame(base)
+
+    assert linking.local_alias_map_rows(pdf()) == [("a", 1, "A", "T", False)]
+    # numpy scalar types are fine (the pandas default)
+    assert linking.local_alias_map_rows(
+        pdf(entity_id=[np.int64(1)], is_hot=[np.bool_(True)])
+    ) == [("a", 1, "A", "T", True)]
+    assert linking.local_alias_map_rows(pdf(aliases=[["Straße"]])) is None
+    assert linking.local_alias_map_rows(pdf(aliases=[["ıa"]])) is None
+    assert linking.local_alias_map_rows(pdf(aliases=[[b"a"]])) is None
+    assert linking.local_alias_map_rows(pdf(canonical_name=[None])) is None
+    assert linking.local_alias_map_rows(pdf(canonical_name=[float("nan")])) is None
+    assert linking.local_alias_map_rows(pdf(entity_type=[None])) is None
+    assert linking.local_alias_map_rows(pdf(is_hot=[None])) is None
+    assert linking.local_alias_map_rows(pdf(entity_id=[True])) is None
+    # non-ASCII payload strings are allowed (only compared, and Python's
+    # code-point order == UTF8String byte order)
+    assert linking.local_alias_map_rows(pdf(canonical_name=["Δelta"])) == [
+        ("a", 1, "Δelta", "T", False)
+    ]
